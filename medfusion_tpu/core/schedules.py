@@ -1,0 +1,312 @@
+"""Gaussian diffusion schedule — pure functional TPU-native core.
+
+Capability parity with the reference ``GaussianNoiseScheduler``
+(``/root/reference/medical_diffusion/models/noise_schedulers/gaussian_scheduler.py:8-151``
+and ``scheduler_base.py:7-46``), redesigned for JAX:
+
+* Schedule tables are precomputed in **float64 numpy** (reference computes the
+  betas in torch.float64, :22-44) and stored as float32 device arrays.
+* ``q_sample`` replaces the reference's per-sample host python loop
+  (``gaussian_scheduler.py:68-76``) with a vectorized ``jnp.where`` over the
+  whole batch — identical semantics (t<0 -> x_0, t>=T -> x_T), zero host work.
+* Every function is a pure function of ``(schedule, arrays)`` so it can run
+  inside ``jit`` / ``lax.scan`` / ``shard_map`` with no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+def _make_betas(
+    timesteps: int,
+    schedule_strategy: str,
+    beta_start: float,
+    beta_end: float,
+    betas: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """Float64 beta table. Mirrors gaussian_scheduler.py:22-36."""
+    if betas is not None:
+        b = np.asarray(betas, dtype=np.float64)
+    elif schedule_strategy == "linear":
+        b = np.linspace(beta_start, beta_end, timesteps, dtype=np.float64)
+    elif schedule_strategy == "scaled_linear":
+        b = np.linspace(beta_start**0.5, beta_end**0.5, timesteps, dtype=np.float64) ** 2
+    elif schedule_strategy == "cosine":
+        s = 0.008
+        x = np.linspace(0, timesteps, timesteps + 1, dtype=np.float64)
+        alphas_cumprod = np.cos(((x / timesteps) + s) / (1 + s) * np.pi * 0.5) ** 2
+        alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+        b = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+        b = np.clip(b, 0, 0.999)
+    else:
+        raise NotImplementedError(f"unknown schedule_strategy {schedule_strategy!r}")
+    return b
+
+
+@struct.dataclass
+class GaussianDiffusionSchedule:
+    """Immutable pytree of diffusion schedule buffers (all float32, shape [T]).
+
+    Buffer parity: gaussian_scheduler.py:46-58.
+    """
+
+    betas: jnp.ndarray
+    alphas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alphas_cumprod_prev: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+    posterior_variance: jnp.ndarray
+    # Static (non-pytree) fields.
+    timesteps: int = struct.field(pytree_node=False, default=1000)
+    T: int = struct.field(pytree_node=False, default=1000)
+
+    @classmethod
+    def create(
+        cls,
+        timesteps: int = 1000,
+        T: Optional[int] = None,
+        schedule_strategy: str = "cosine",
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        betas: Optional[Sequence[float]] = None,
+        dtype=jnp.float32,
+    ) -> "GaussianDiffusionSchedule":
+        T = timesteps if T is None else T
+        b = _make_betas(timesteps, schedule_strategy, beta_start, beta_end, betas)
+        alphas = 1.0 - b
+        alphas_cumprod = np.cumprod(alphas)
+        alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
+        as_f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+        return cls(
+            betas=as_f(b),
+            alphas=as_f(alphas),
+            alphas_cumprod=as_f(alphas_cumprod),
+            alphas_cumprod_prev=as_f(alphas_cumprod_prev),
+            sqrt_alphas_cumprod=as_f(np.sqrt(alphas_cumprod)),
+            sqrt_one_minus_alphas_cumprod=as_f(np.sqrt(1.0 - alphas_cumprod)),
+            sqrt_recip_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod)),
+            sqrt_recipm1_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+            posterior_mean_coef1=as_f(b * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+            posterior_mean_coef2=as_f((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
+            posterior_variance=as_f(b * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+            timesteps=timesteps,
+            T=T,
+        )
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def timesteps_array(self) -> jnp.ndarray:
+        """[0 .. T-1] int32 (scheduler_base.py:17)."""
+        return jnp.asarray(
+            np.linspace(0, self.T - 1, self.timesteps).astype(np.int64), dtype=jnp.int32
+        )
+
+    def ddim_timesteps(self, steps: int) -> jnp.ndarray:
+        """torch.linspace(0, T-1, steps).long() semantics (diffusion_pipeline.py:285)."""
+        # torch.linspace(...) casts to long by truncation; do the same in f64.
+        vals = np.linspace(0.0, float(self.T - 1), steps)
+        return jnp.asarray(vals.astype(np.int64), dtype=jnp.int32)
+
+
+def extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """a[t] broadcast to `ndim` dims: [B] -> [B, 1, 1, ...] (scheduler_base.py:43-46)."""
+    out = a[t]
+    return out.reshape(out.shape[0], *([1] * (ndim - 1)))
+
+
+def clip_x0(x_0: jnp.ndarray, m: float = 1.0) -> jnp.ndarray:
+    """Static thresholding (gaussian_scheduler.py:138-151)."""
+    return jnp.clip(x_0, -m, m)
+
+
+def q_sample(
+    sched: GaussianDiffusionSchedule,
+    x_0: jnp.ndarray,
+    t: jnp.ndarray,
+    x_T: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forward diffusion q(x_t | x_0); `estimate_x_t` (gaussian_scheduler.py:61-77).
+
+    Vectorized replacement for the reference per-sample loop: per-sample t is
+    clamped with `where` masks (t<0 -> x_0, t>=T -> x_T).
+    """
+    ndim = x_0.ndim
+    tc = jnp.clip(t, 0, sched.T - 1)
+    x_t = (
+        extract(sched.sqrt_alphas_cumprod, tc, ndim) * x_0
+        + extract(sched.sqrt_one_minus_alphas_cumprod, tc, ndim) * x_T
+    )
+    tb = t.reshape(-1, *([1] * (ndim - 1)))
+    x_t = jnp.where(tb < 0, x_0, x_t)
+    x_t = jnp.where(tb >= sched.T, x_T, x_t)
+    return x_t
+
+
+def estimate_x_0(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    x_T: jnp.ndarray,
+    t: jnp.ndarray,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """Invert q to get x_0 from (x_t, eps) (gaussian_scheduler.py:119-124)."""
+    ndim = x_t.ndim
+    x_0 = (
+        extract(sched.sqrt_recip_alphas_cumprod, t, ndim) * x_t
+        - extract(sched.sqrt_recipm1_alphas_cumprod, t, ndim) * x_T
+    )
+    return clip_x0(x_0) if clip else x_0
+
+
+def estimate_x_T(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    x_0: jnp.ndarray,
+    t: jnp.ndarray,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """Invert q to get eps from (x_t, x_0) (gaussian_scheduler.py:127-131)."""
+    ndim = x_t.ndim
+    x_0 = clip_x0(x_0) if clip else x_0
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, ndim) * x_t - x_0
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, ndim)
+
+
+def posterior_mean(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    x_0: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """q(x_{t-1} | x_t, x_0) mean (gaussian_scheduler.py:104-107)."""
+    ndim = x_t.ndim
+    return (
+        extract(sched.posterior_mean_coef1, t, ndim) * x_0
+        + extract(sched.posterior_mean_coef2, t, ndim) * x_t
+    )
+
+
+def posterior_variance(
+    sched: GaussianDiffusionSchedule,
+    t: jnp.ndarray,
+    ndim: int,
+    log: bool = True,
+    var_scale=0.0,
+    eps: float = 1e-20,
+):
+    """Posterior variance, optionally log-interpolated between min (posterior)
+    and max (beta) by a learned `var_scale` (gaussian_scheduler.py:110-116)."""
+    min_variance = extract(sched.posterior_variance, t, ndim)
+    max_variance = extract(sched.betas, t, ndim)
+    if log:
+        min_variance = jnp.log(jnp.clip(min_variance, eps))
+        max_variance = jnp.log(jnp.clip(max_variance, eps))
+    return var_scale * max_variance + (1 - var_scale) * min_variance
+
+
+def ancestral_step(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    x_0: jnp.ndarray,
+    noise: jnp.ndarray,
+    use_log: bool = True,
+    clip: bool = True,
+    var_scale=0.0,
+):
+    """DDPM ancestral step x_t -> x_{t-1} given predicted x_0
+    (`estimate_x_t_prior_from_x_0`, gaussian_scheduler.py:85-101, non-cold branch).
+
+    `noise` replaces the reference's internal randn so callers control RNG.
+    Returns (x_t_prior, x_0_clipped).
+    """
+    ndim = x_t.ndim
+    x_0 = clip_x0(x_0) if clip else x_0
+    mean = posterior_mean(sched, x_t, x_0, t)
+    variance = posterior_variance(sched, t, ndim, log=use_log, var_scale=var_scale)
+    std = jnp.exp(0.5 * variance) if use_log else jnp.sqrt(variance)
+    tb = t.reshape(-1, *([1] * (ndim - 1)))
+    std = jnp.where(tb == 0, 0.0, std)  # reference: std[t==0] = 0
+    return mean + std * noise, x_0
+
+
+def ancestral_step_from_eps(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    x_T: jnp.ndarray,
+    noise: jnp.ndarray,
+    use_log: bool = True,
+    clip: bool = True,
+    var_scale=0.0,
+):
+    """`estimate_x_t_prior_from_x_T` (gaussian_scheduler.py:80-82)."""
+    x_0 = estimate_x_0(sched, x_t, x_T, t, clip=clip)
+    return ancestral_step(sched, x_t, t, x_0, noise, use_log, clip, var_scale)
+
+
+def cold_diffusion_step(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    x_0: jnp.ndarray,
+    clip: bool = True,
+):
+    """Cold-diffusion sampling branch (gaussian_scheduler.py:88-93).
+
+    x_t_prior = x_t - (D(x_0, t) - D(x_0, t-1)) with the degradation operator D
+    re-noising with the eps implied by (x_t, x_0).
+    """
+    x_0 = clip_x0(x_0) if clip else x_0
+    x_T_est = estimate_x_T(sched, x_t, x_0, t, clip=False)
+    x_t_est = q_sample(sched, x_0, t, x_T_est)
+    x_t_prior = q_sample(sched, x_0, t - 1, x_T_est)
+    return x_t - (x_t_est - x_t_prior), x_0
+
+
+def ddim_sigma(sched: GaussianDiffusionSchedule, t, t_next, eta) -> jnp.ndarray:
+    """DDIM sigma_t (diffusion_pipeline.py:301)."""
+    alpha = sched.alphas_cumprod[t]
+    alpha_next = sched.alphas_cumprod[t_next]
+    return eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+
+
+def ddim_step(
+    sched: GaussianDiffusionSchedule,
+    x_0: jnp.ndarray,
+    x_T: jnp.ndarray,
+    t,
+    t_next,
+    noise: jnp.ndarray,
+    eta=1.0,
+):
+    """DDIM re-mix x_{t_next} = x_0*sqrt(a') + c*eps + sigma*noise
+    (diffusion_pipeline.py:297-304)."""
+    alpha_next = sched.alphas_cumprod[t_next]
+    sigma = ddim_sigma(sched, t, t_next, eta)
+    c = jnp.sqrt(1 - alpha_next - sigma**2)
+    return x_0 * jnp.sqrt(alpha_next) + c * x_T + sigma * noise
+
+
+def kl_gaussians(mean1, logvar1, mean2, logvar2):
+    """Closed-form KL(N1||N2) per element (utils/math_utils.py:3-5)."""
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2)
+    )
