@@ -1,0 +1,156 @@
+"""Low-level functional ops with exact PyTorch/MONAI semantics, channels-last.
+
+Parity notes (reference file:line):
+* ``get_padding`` — MONAI ``dynunet_block.get_padding``: pad = (k - s + 1) // 2
+  per spatial dim (used by every conv in conv_blocks.py).
+* ``interpolate_nearest_exact`` — torch ``F.interpolate(mode='nearest-exact')``
+  (conv_blocks.py:124, the only upsampling mode on the main path).
+* ``interpolate_area`` — torch ``F.interpolate(mode='area')`` == adaptive
+  average pooling (deep-supervision target downscaling,
+  diffusion_pipeline.py:142,181; latent_embedders.py:545).
+* torch-style initializers for conv/linear so from-scratch training matches the
+  reference's init distribution (kaiming_uniform(a=sqrt(5)) + fan-in uniform bias).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+IntOrSeq = Union[int, Sequence[int]]
+
+
+def ensure_tuple(x: IntOrSeq, n: int) -> Tuple[int, ...]:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n, f"expected length {n}, got {x}"
+        return tuple(int(v) for v in x)
+    return (int(x),) * n
+
+
+def get_padding(kernel_size: IntOrSeq, stride: IntOrSeq, n: int) -> Tuple[int, ...]:
+    """MONAI get_padding: (k - s + 1) // 2 per dim (must be >= 0)."""
+    k = ensure_tuple(kernel_size, n)
+    s = ensure_tuple(stride, n)
+    pad = tuple((ki - si + 1) // 2 for ki, si in zip(k, s))
+    if min(pad) < 0:
+        raise ValueError(f"padding < 0 for kernel {k} stride {s}")
+    return pad
+
+
+def up_output_shape(
+    in_shape: Sequence[int], kernel_size: IntOrSeq, stride: IntOrSeq
+) -> Tuple[int, ...]:
+    """BasicUp.calc_shape (conv_blocks.py:101-102):
+    (size-1)*stride + kernel - 2*get_padding(kernel, stride)."""
+    n = len(in_shape)
+    k = ensure_tuple(kernel_size, n)
+    s = ensure_tuple(stride, n)
+    p = get_padding(k, s, n)
+    return tuple((sz - 1) * si + ki - 2 * pi for sz, ki, si, pi in zip(in_shape, k, s, p))
+
+
+def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest-exact') for channels-last [B, *spatial, C].
+
+    src = min(floor((dst + 0.5) * in/out), in-1) per dim.
+    """
+    spatial = x.shape[1:-1]
+    assert len(spatial) == len(size)
+    for axis, (in_sz, out_sz) in enumerate(zip(spatial, size)):
+        if in_sz == out_sz:
+            continue
+        scale = in_sz / out_sz
+        idx = np.minimum(np.floor((np.arange(out_sz) + 0.5) * scale).astype(np.int32), in_sz - 1)
+        x = jnp.take(x, jnp.asarray(idx), axis=axis + 1)
+    return x
+
+
+def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest'): src = min(floor(dst * in/out), in-1)."""
+    spatial = x.shape[1:-1]
+    for axis, (in_sz, out_sz) in enumerate(zip(spatial, size)):
+        if in_sz == out_sz:
+            continue
+        scale = in_sz / out_sz
+        idx = np.minimum(np.floor(np.arange(out_sz) * scale).astype(np.int32), in_sz - 1)
+        x = jnp.take(x, jnp.asarray(idx), axis=axis + 1)
+    return x
+
+
+def interpolate_area(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='area') == adaptive average pool, channels-last.
+
+    Bin b covers [floor(b*in/out), ceil((b+1)*in/out)). Implemented as a per-axis
+    bin-membership matmul (dense [out, in] averaging matrix) — MXU-friendly and
+    static-shaped.
+    """
+    spatial = x.shape[1:-1]
+    for axis, (in_sz, out_sz) in enumerate(zip(spatial, size)):
+        if in_sz == out_sz:
+            continue
+        starts = np.floor(np.arange(out_sz) * in_sz / out_sz).astype(np.int64)
+        ends = np.ceil((np.arange(out_sz) + 1) * in_sz / out_sz).astype(np.int64)
+        w = np.zeros((out_sz, in_sz), dtype=np.float32)
+        for b in range(out_sz):
+            w[b, starts[b]:ends[b]] = 1.0 / (ends[b] - starts[b])
+        x = jnp.moveaxis(
+            jnp.tensordot(jnp.asarray(w, x.dtype), jnp.moveaxis(x, axis + 1, 0), axes=([1], [0])),
+            0,
+            axis + 1,
+        )
+    return x
+
+
+def avg_pool_same(x: jnp.ndarray, kernel_size: IntOrSeq, stride: IntOrSeq) -> jnp.ndarray:
+    """torch AvgPool with MONAI padding (count_include_pad=True, torch default)."""
+    n = x.ndim - 2
+    k = ensure_tuple(kernel_size, n)
+    s = ensure_tuple(stride, n)
+    p = get_padding(k, s, n)
+    window = (1,) + k + (1,)
+    strides = (1,) + s + (1,)
+    padding = ((0, 0),) + tuple((pi, pi) for pi in p) + ((0, 0),)
+    out = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, padding)
+    return out / math.prod(k)
+
+
+def save_add(*args):
+    """None-tolerant sum (conv_blocks.py:16-18)."""
+    args = [a for a in args if a is not None]
+    return sum(args[1:], args[0]) if args else None
+
+
+# ---------------------------------------------------------------------------
+# torch-style initializers
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on a [*k, I, O] kernel (torch conv default)."""
+    fan_in = math.prod(shape[:-1])  # I * prod(k)
+    bound = 1.0 / math.sqrt(fan_in)
+    return random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on an [I, O] kernel (torch Linear default)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def zeros_init(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)

@@ -1,0 +1,42 @@
+"""Pallas TPU kernels and global kernel switches.
+
+Kernels are numerically-equivalent accelerators for the pure-XLA paths; each is
+opt-in via a module-level switch so correctness tests can compare both paths.
+"""
+
+from __future__ import annotations
+
+_FLASH_ATTENTION = False
+_FUSED_GROUP_NORM = False
+
+
+def enable_flash_attention(on: bool = True) -> None:
+    global _FLASH_ATTENTION
+    _FLASH_ATTENTION = on
+
+
+def flash_attention_enabled() -> bool:
+    return _FLASH_ATTENTION
+
+
+def enable_fused_group_norm(on: bool = True) -> None:
+    global _FUSED_GROUP_NORM
+    _FUSED_GROUP_NORM = on
+
+
+def fused_group_norm_enabled() -> bool:
+    return _FUSED_GROUP_NORM
+
+
+def flash_attention(q, k, v, scale):
+    """[B, H, N, D] flash attention; lazy import keeps Pallas off the critical
+    import path for CPU-only test runs."""
+    from medfusion_tpu.ops.flash_attention import flash_attention as _fa
+
+    return _fa(q, k, v, scale)
+
+
+def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5):
+    from medfusion_tpu.ops.group_norm import fused_group_norm_silu as _gn
+
+    return _gn(x, scale, bias, num_groups, eps)

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Parity oracles compare fp32 bit-level numerics vs torch; JAX CPU otherwise
+# runs convs/matmuls at reduced ("fastest") precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
