@@ -1,0 +1,374 @@
+"""Latent diffusion pipeline — training loss + fully-fused sampling.
+
+Capability parity with the reference ``DiffusionPipeline``
+(``/root/reference/medical_diffusion/models/pipelines/diffusion_pipeline.py:20-348``),
+re-architected for TPU:
+
+* The reference's ``denoise`` runs a host python loop with one (or two, under
+  CFG) eager UNet forwards per step (:283-304). Here the ENTIRE denoise loop is
+  a single ``lax.scan`` inside one jitted function — zero host round-trips,
+  one compiled graph for any step count.
+* Classifier-free guidance runs cond+uncond in ONE batched forward (batch-dim
+  concat) instead of the reference's two sequential calls (:240-249) — better
+  MXU utilization at identical math.
+* The condition drop for CFG training (:122-123) and the uncond branch use a
+  per-sample ``cond_mask`` that zeroes the label embedding, keeping a single
+  static graph (the reference re-traces a condition=None python branch).
+* RNG is functional: every random draw comes from an explicit key.
+
+The pipeline object is static configuration; all methods are pure functions of
+``(params, rng, arrays)`` and jit/pjit-compatible. ``params`` is
+``{'noise_estimator': ..., 'latent_embedder': ...}`` — the latent embedder
+subtree is frozen (reference: grads disabled, diffusion_pipeline.py:56-62) by
+simply not including it in the optimizer; training code applies
+``stop_gradient`` defensively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medfusion_tpu.core import schedules as S
+from medfusion_tpu.core.schedules import GaussianDiffusionSchedule, kl_gaussians
+from medfusion_tpu.nn.functional import interpolate_area
+
+
+def _l1(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def _l2(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+_LOSSES = {"l1": _l1, "l2": _l2, "mse": _l2}
+
+
+def gaussian_nll(pred, target, var, eps: float = 1e-6):
+    """torch F.gaussian_nll_loss(reduction='none') semantics (var clamped)."""
+    var = jnp.clip(var, eps)
+    return 0.5 * (jnp.log(var) + (pred - target) ** 2 / var)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionPipeline:
+    """Static pipeline config. See module docstring for the design."""
+
+    scheduler: GaussianDiffusionSchedule
+    noise_estimator: Any  # flax module: (x_t, t, condition, self_cond, cond_mask) -> (y, y_ver)
+    latent_embedder: Any = None  # flax module with encode/decode, or None
+    estimator_objective: str = "x_T"  # 'x_T' (eps) or 'x_0'
+    estimate_variance: bool = False
+    use_self_conditioning: bool = False
+    classifier_free_guidance_dropout: float = 0.5
+    do_input_centering: bool = True
+    clip_x0: bool = True
+    loss: str = "l1"
+
+    def __post_init__(self):
+        if self.estimator_objective not in ("x_T", "x_0"):
+            raise ValueError(f"unknown estimator_objective {self.estimator_objective!r}")
+
+    # ------------------------------------------------------------------
+    # model application helpers
+    # ------------------------------------------------------------------
+
+    def _apply_estimator(self, params, x_t, t, condition, self_cond, cond_mask):
+        return self.noise_estimator.apply(
+            {"params": params["noise_estimator"]},
+            x_t, t, condition, self_cond, cond_mask,
+        )
+
+    def encode_latent(self, params, x, rng):
+        """Frozen latent-embedder encode (diffusion_pipeline.py:86-90)."""
+        if self.latent_embedder is None:
+            return x
+        le_params = jax.lax.stop_gradient(params["latent_embedder"])
+        return self.latent_embedder.apply(
+            {"params": le_params}, x,
+            method=self.latent_embedder.encode, rngs={"sample": rng},
+        )
+
+    def decode_latent(self, params, z):
+        if self.latent_embedder is None:
+            return z
+        return self.latent_embedder.apply(
+            {"params": params["latent_embedder"]}, z,
+            method=self.latent_embedder.decode,
+        )
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train_loss(
+        self,
+        params: Dict,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """One training-loss evaluation (reference ``_step``,
+        diffusion_pipeline.py:78-229, minus host-side logging/image dumps which
+        live in the train loop, not the library)."""
+        sched = self.scheduler
+        loss_fct = _LOSSES[self.loss]
+        x_in = batch["source"]
+        condition = batch.get("target")
+        b = x_in.shape[0]
+        k_enc, k_t, k_noise, k_cfg, k_sc = jax.random.split(rng, 5)
+
+        x_0 = self.encode_latent(params, x_in, k_enc)
+        if self.do_input_centering:
+            x_0 = 2 * x_0 - 1
+
+        t = jax.random.randint(k_t, (b,), 0, sched.T, dtype=jnp.int32)
+        x_T = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
+        x_t = S.q_sample(sched, x_0, t, x_T)
+
+        # Self-conditioning pre-pass, gradient-stopped (reference :109-119).
+        self_cond = None
+        if self.use_self_conditioning:
+            pred_sc, _ = self._apply_estimator(params, x_t, t, condition, None, None)
+            if self.estimate_variance:
+                pred_sc, _ = jnp.split(pred_sc, 2, axis=-1)
+            if self.estimator_objective == "x_T":
+                self_cond = S.estimate_x_0(sched, x_t, pred_sc, t, clip=self.clip_x0)
+            else:
+                self_cond = S.estimate_x_T(sched, x_t, pred_sc, t, clip=self.clip_x0)
+            self_cond = jax.lax.stop_gradient(self_cond)
+
+        # CFG condition drop: the reference draws ONE uniform for the whole
+        # batch (:122-123); same here for parity.
+        cond_mask = None
+        if condition is not None:
+            drop = jax.random.uniform(k_cfg, ()) < self.classifier_free_guidance_dropout
+            cond_mask = jnp.where(drop, 0.0, 1.0) * jnp.ones((b,), x_0.dtype)
+
+        pred, pred_vertical = self._apply_estimator(
+            params, x_t, t, condition, self_cond, cond_mask
+        )
+        pred_var = None
+        if self.estimate_variance:
+            pred, pred_var = jnp.split(pred, 2, axis=-1)
+
+        target = x_T if self.estimator_objective == "x_T" else x_0
+
+        # Pyramid weights 1/2^i, normalized (reference :141-146).
+        weights = [1 / 2**i for i in range(1 + len(pred_vertical))]
+        weights = [w / sum(weights) for w in weights]
+
+        loss = loss_fct(pred, target) * weights[0]
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        if self.estimate_variance:
+            var_scale = (pred_var + 1) / 2  # [-1,1] -> [0,1]
+            pred_logvar = S.posterior_variance(sched, t, x_t.ndim, log=True, var_scale=var_scale)
+            if self.estimator_objective == "x_T":
+                pred_x_0 = S.estimate_x_0(sched, x_t, x_T, t, clip=self.clip_x0)
+            else:
+                pred_x_0 = pred
+            pred_mean = jax.lax.stop_gradient(S.posterior_mean(sched, x_t, pred_x_0, t))
+            true_mean = jax.lax.stop_gradient(S.posterior_mean(sched, x_t, x_0, t))
+            true_logvar = S.posterior_variance(sched, t, x_t.ndim, log=True, var_scale=0.0)
+            red_axes = tuple(range(1, x_0.ndim))
+            kl_loss = jnp.mean(
+                kl_gaussians(true_mean, true_logvar, pred_mean, pred_logvar), axis=red_axes
+            )
+            nll_loss = jnp.mean(
+                gaussian_nll(pred_x_0, x_0, jnp.exp(pred_logvar)), axis=red_axes
+            )
+            var_loss = jnp.mean(jnp.where(t == 0, nll_loss, kl_loss))
+            loss = loss + var_loss
+            metrics["variance_scale"] = jnp.mean(var_scale)
+            metrics["variance_loss"] = var_loss
+
+        for i, pred_i in enumerate(pred_vertical):
+            target_i = interpolate_area(target, pred_i.shape[1:-1])
+            loss = loss + loss_fct(pred_i, target_i) * weights[i + 1]
+
+        metrics["loss"] = loss
+        metrics["L1"] = _l1(pred, target)
+        metrics["L2"] = _l2(pred, target)
+        return loss, metrics
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def estimate(
+        self,
+        params,
+        x_t,
+        t,
+        condition=None,
+        self_cond=None,
+        guidance_scale: float = 1.0,
+        un_cond=None,
+        cold_diffusion: bool = False,
+        noise=None,
+    ):
+        """One reverse step (reference ``forward``, diffusion_pipeline.py:232-275).
+
+        Returns ``(x_t_prior, x_0, x_T, self_cond)``. ``noise`` is the ancestral
+        step's gaussian draw (callers control RNG).
+        """
+        sched = self.scheduler
+        b = x_t.shape[0]
+        if (condition is not None) and (guidance_scale != 1.0):
+            # Batched CFG: [uncond | cond] in one forward.
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            cond_u = un_cond if un_cond is not None else jnp.zeros_like(condition)
+            cond2 = jnp.concatenate([cond_u, condition], axis=0)
+            mask_u = jnp.ones((b,), x_t.dtype) if un_cond is not None else jnp.zeros((b,), x_t.dtype)
+            mask2 = jnp.concatenate([mask_u, jnp.ones((b,), x_t.dtype)], axis=0)
+            sc2 = None if self_cond is None else jnp.concatenate([self_cond, self_cond], axis=0)
+            pred2, _ = self._apply_estimator(params, x2, t2, cond2, sc2, mask2)
+            pred_uncond, pred_cond = pred2[:b], pred2[b:]
+            pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+        else:
+            cond_mask = None if condition is None else jnp.ones((b,), x_t.dtype)
+            pred, _ = self._apply_estimator(params, x_t, t, condition, self_cond, cond_mask)
+
+        if self.estimate_variance:
+            pred, pred_var = jnp.split(pred, 2, axis=-1)
+            var_scale = pred_var / 2 + 0.5
+        else:
+            var_scale = 0.0
+
+        if noise is None:
+            noise = jnp.zeros_like(x_t)
+
+        if self.estimator_objective == "x_0":
+            if cold_diffusion:
+                x_t_prior, x_0 = S.cold_diffusion_step(sched, x_t, t, pred, clip=self.clip_x0)
+            else:
+                x_t_prior, x_0 = S.ancestral_step(
+                    sched, x_t, t, pred, noise, clip=self.clip_x0, var_scale=var_scale
+                )
+            x_T = S.estimate_x_T(sched, x_t, x_0=pred, t=t, clip=self.clip_x0)
+            new_self_cond = x_T
+        else:
+            if cold_diffusion:
+                x_0c = S.estimate_x_0(sched, x_t, pred, t, clip=self.clip_x0)
+                x_t_prior, x_0 = S.cold_diffusion_step(sched, x_t, t, x_0c, clip=self.clip_x0)
+            else:
+                x_t_prior, x_0 = S.ancestral_step_from_eps(
+                    sched, x_t, t, pred, noise, clip=self.clip_x0, var_scale=var_scale
+                )
+            x_T = pred
+            new_self_cond = x_0
+        return x_t_prior, x_0, x_T, new_self_cond
+
+    def denoise(
+        self,
+        params,
+        x_t,
+        rng,
+        condition=None,
+        steps: Optional[int] = None,
+        use_ddim: bool = True,
+        guidance_scale: float = 1.0,
+        un_cond=None,
+        eta: float = 1.0,
+        decode: bool = True,
+    ):
+        """Full reverse process as ONE ``lax.scan`` (replaces the reference's
+        host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
+        ``use_ddim``, ``guidance_scale``, ``eta``, ``decode`` are static."""
+        sched = self.scheduler
+        if use_ddim:
+            n = sched.timesteps if steps is None else steps
+            ts = sched.ddim_timesteps(n)  # ascending [0 .. T-1], length n
+        else:
+            ts = sched.timesteps_array()[: (steps or sched.timesteps)]
+            n = int(ts.shape[0])
+
+        b = x_t.shape[0]
+        ts_rev = ts[::-1]
+        # t_next[i] pairs with t[i] for the DDIM re-mix; the final step has none.
+        ts_next = jnp.concatenate([ts_rev[1:], jnp.zeros((1,), ts.dtype)])
+        has_next = jnp.arange(n) < n - 1
+        keys = jax.random.split(rng, n)
+
+        init_self_cond = jnp.zeros_like(x_t)
+
+        def body(carry, inp):
+            x, self_cond = carry
+            t_scalar, t_next, more, key = inp
+            k_anc, k_ddim = jax.random.split(key)
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            sc = self_cond if self.use_self_conditioning else None
+            anc_noise = jax.random.normal(k_anc, x.shape, x.dtype)
+            x_prior, x_0, x_T, new_sc = self.estimate(
+                params, x, t_b, condition, sc,
+                guidance_scale=guidance_scale, un_cond=un_cond, noise=anc_noise,
+            )
+            if use_ddim:
+                ddim_noise = jax.random.normal(k_ddim, x.shape, x.dtype)
+                x_ddim = S.ddim_step(sched, x_0, x_T, t_scalar, t_next, ddim_noise, eta)
+                x_new = jnp.where(more, x_ddim, x_prior)
+            else:
+                x_new = x_prior
+            return (x_new, new_sc), None
+
+        (x_out, _), _ = jax.lax.scan(body, (x_t, init_self_cond), (ts_rev, ts_next, has_next, keys))
+        if decode:
+            x_out = self.decode_latent(params, x_out)
+        return x_out
+
+    def sample(
+        self,
+        params,
+        rng,
+        num_samples: int,
+        img_size: Tuple[int, ...],
+        condition=None,
+        **kwargs,
+    ):
+        """Noise -> images (reference ``sample``, diffusion_pipeline.py:312-317).
+        ``img_size`` is the channels-last latent shape, e.g. (32, 32, 8)."""
+        k_init, k_loop = jax.random.split(rng)
+        x_T = jax.random.normal(k_init, (num_samples, *img_size))
+        return self.denoise(params, x_T, k_loop, condition=condition, **kwargs)
+
+    def interpolate(
+        self,
+        params,
+        rng,
+        img1,
+        img2,
+        i: Optional[int] = None,
+        condition=None,
+        lam: float = 0.5,
+        **kwargs,
+    ):
+        """Noise both latents to step i, lerp, denoise (reference
+        diffusion_pipeline.py:320-332)."""
+        sched = self.scheduler
+        t_scalar = sched.T - 1 if i is None else i
+        t = jnp.full(img1.shape[:1], t_scalar, jnp.int32)
+        k1, k2, k_loop = jax.random.split(rng, 3)
+        img1_t = S.q_sample(sched, img1, t, jax.random.normal(k1, img1.shape, img1.dtype))
+        img2_t = S.q_sample(sched, img2, t, jax.random.normal(k2, img2.shape, img2.dtype))
+        img = (1 - lam) * img1_t + lam * img2_t
+        return self.denoise(params, img, k_loop, condition=condition, steps=t_scalar, **kwargs)
+
+    # ------------------------------------------------------------------
+    # jit helpers
+    # ------------------------------------------------------------------
+
+    def jit_sampler(self, **static_kwargs):
+        """Returns a jitted ``(params, rng, condition) -> images`` closure with
+        all sampling hyperparameters baked in as compile-time constants."""
+
+        @partial(jax.jit, static_argnames=("num_samples",))
+        def run(params, rng, num_samples, condition=None):
+            return self.sample(params, rng, num_samples, condition=condition, **static_kwargs)
+
+        return run
