@@ -61,6 +61,12 @@ def _ssim_per_channel(
     k1, k2 = k
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
+    # pytorch_msssim asserts win_size < min spatial dim; instead shrink the
+    # window for small inputs (deep-supervision pyramid levels) so the VALID
+    # conv never produces an empty reduction. Identical at realistic sizes.
+    min_sp = min(x.shape[1:-1])
+    if win_size > min_sp:
+        win_size = min_sp if min_sp % 2 == 1 else min_sp - 1
     kernel = jnp.asarray(_gaussian_kernel1d(win_size, win_sigma))
 
     mu_x = _gaussian_filter(x, kernel)

@@ -230,14 +230,22 @@ class _AutoencoderBase(nn.Module):
             h = enc(h, train=train)
         return h
 
-    def _decode_backbone(self, z_q, train: bool, with_vertical: bool):
-        out_hor = []
+    def _decode_backbone(self, z_q, train: bool, with_vertical: bool, with_hiddens: bool = False):
+        """Decoder pass. With ``with_hiddens`` also returns the pre-head
+        activations (input of ``outc`` / each ``outc_ver``) — needed by the
+        adversarial trainer's adaptive-lambda (reference ``compute_lambda``
+        differentiates w.r.t. the out-layer weight, latent_embedders.py:1059-1065)."""
+        out_hor, h_vers = [], []
         h = self.inc_dec(z_q, train=train)
         for i in range(len(self.decoders) - 1, -1, -1):
             if with_vertical and i < len(self.outc_ver):
                 out_hor.append(self.outc_ver[i](h, train=train))
+                h_vers.append(h)
             h = self.decoders[i](h, None, train=train)
-        return self.outc(h, train=train), out_hor[::-1]
+        out = self.outc(h, train=train)
+        if with_hiddens:
+            return out, out_hor[::-1], h, h_vers[::-1]
+        return out, out_hor[::-1]
 
 
 class VAE(_AutoencoderBase):
@@ -275,6 +283,17 @@ class VAE(_AutoencoderBase):
         pred, pred_ver = self._decode_backbone(z_q, train, with_vertical=True)
         return pred, pred_ver, emb_loss
 
+    def forward_with_hiddens(self, x, train: bool = False, sample: bool = True):
+        """(pred, pred_vertical, emb_loss, h_top, h_vers) — hiddens feed the
+        adversarial trainer's adaptive lambda."""
+        z = self._moments(x, train)
+        rng = self.make_rng("sample") if sample else None
+        z_q, emb_loss = diagonal_gaussian(z, rng, sample=sample)
+        pred, pred_ver, h_top, h_vers = self._decode_backbone(
+            z_q, train, with_vertical=True, with_hiddens=True
+        )
+        return pred, pred_ver, emb_loss, h_top, h_vers
+
 
 class VQVAE(_AutoencoderBase):
     """VQ autoencoder (latent_embedders.py:191-404).
@@ -311,3 +330,11 @@ class VQVAE(_AutoencoderBase):
         z_q, emb_loss = self.quantizer(z)
         pred, pred_ver = self._decode_backbone(z_q, train, with_vertical=True)
         return pred, pred_ver, emb_loss
+
+    def forward_with_hiddens(self, x, train: bool = False):
+        z = self.encode(x, train=train)
+        z_q, emb_loss = self.quantizer(z)
+        pred, pred_ver, h_top, h_vers = self._decode_backbone(
+            z_q, train, with_vertical=True, with_hiddens=True
+        )
+        return pred, pred_ver, emb_loss, h_top, h_vers

@@ -1,0 +1,204 @@
+"""Adversarial autoencoder training (VAEGAN / VQGAN).
+
+Parity with the reference Lightning two-optimizer flow
+(``/root/reference/medical_diffusion/models/embedders/latent_embedders.py``
+VAEGAN :860-1065, VQGAN :408-616), re-architected as ONE jitted step that runs
+both players (Lightning alternates optimizer_idx 0/1 on the same batch; the
+step counter advances by 2 per batch to match ``start_gan_train_step``'s
+"step increases with each optimizer" semantics, :885).
+
+* Generator loss (:943-961): per pyramid level, rec_loss + gan_loss_weight *
+  lambda * (-sum D_level(pred_level)) once step > start_gan_train_step and
+  level < 2, plus embedding_loss_weight * emb_loss.
+* Adaptive lambda (:1059-1065, eq. 7 of arXiv:2012.09841):
+  ||d rec/d w|| / (||d gan/d w|| + 1e-4) clipped to [0, 1e4], stop-gradient,
+  where w is the 1x1 zero-init out-conv kernel of that level's decoder head.
+  The reference uses a second ``torch.autograd.grad`` w.r.t. one parameter;
+  here a single ``jax.vjp`` of (rec, gan) as a function of the kernel (the
+  head is a pure 1x1 conv, so the closure recomputes only head + losses)
+  yields both gradients with one shared forward.
+* Discriminator loss (:963-973): hinge (default) on D(target), D(stop_grad
+  pred)) per level, active once step > start_gan_train_step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from medfusion_tpu.losses.gan import hinge_d_loss
+from medfusion_tpu.nn.functional import interpolate_area
+from medfusion_tpu.train.autoencoder import AutoencoderTrainer
+from medfusion_tpu.train.state import TrainState
+
+
+@struct.dataclass
+class GANTrainState:
+    """Two-player state; ``step`` counts optimizer steps (2 per batch)."""
+
+    step: jnp.ndarray
+    gen: TrainState
+    disc: TrainState
+
+    @classmethod
+    def create(cls, gen_params, disc_params, tx_gen: optax.GradientTransformation,
+               tx_disc: optax.GradientTransformation) -> "GANTrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            gen=TrainState.create(gen_params, tx_gen),
+            disc=TrainState.create(disc_params, tx_disc),
+        )
+
+
+def _conv_head(h: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 1x1 (or 1x1x1) conv head: NHWC tensordot over channels."""
+    nsp = h.ndim - 2
+    w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # [I, O]
+    return jnp.tensordot(h, w, axes=([h.ndim - 1], [0])) + bias
+
+
+@dataclasses.dataclass(frozen=True)
+class AdversarialTrainer:
+    """Static config; composes an :class:`AutoencoderTrainer` for rec_loss."""
+
+    ae_trainer: AutoencoderTrainer
+    discriminator: Any  # Discriminator flax module (same config per level)
+    n_discriminators: int = 1
+    gan_loss: Callable = hinge_d_loss
+    gan_loss_weight: float = 1.0
+    start_gan_train_step: int = 50000
+    lambda_eps: float = 1e-4
+
+    # ------------------------------------------------------------------
+
+    def _head_leaves(self, ae_params, depth: int):
+        """(kernel, bias) of the depth-th decoder out head. Depth 0 -> outc,
+        depth i>0 -> outc_ver[i-1]; all are 1x1 zero-init BasicBlocks."""
+        name = "outc" if depth == 0 else f"outc_ver_{depth - 1}"
+        leaf = ae_params[name]["ConvND_0"]["conv"]
+        return leaf["kernel"], leaf.get("bias", 0.0)
+
+    def _disc_apply(self, disc_params, depth: int, x):
+        return self.discriminator.apply({"params": disc_params[f"disc_{depth}"]}, x)
+
+    def vae_img_loss(
+        self, ae_params, disc_params, perceiver_params, pred, h, target, step, depth: int
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Reference ``vae_img_loss`` (latent_embedders.py:943-961)."""
+        at = self.ae_trainer
+        # rec_loss with no verticals — matches `self.vqvae.rec_loss(pred, [], target)`
+        # (:946) in either flavor (vae: sum/B, vqvae: mean).
+        rec = at.rec_loss(perceiver_params, pred, [], target)
+        metrics: Dict[str, jnp.ndarray] = {}
+        if depth >= 2:
+            return rec, metrics
+
+        kernel, bias = self._head_leaves(ae_params, depth)
+        h_const = jax.lax.stop_gradient(h)
+
+        def f(w):
+            p = _conv_head(h_const, w, bias)
+            rec_w = at.rec_loss(perceiver_params, p, [], target)
+            gan_w = -jnp.sum(self._disc_apply(disc_params, depth, p))
+            return rec_w, gan_w
+
+        (_, gan_loss), vjp = jax.vjp(f, kernel)
+        (g_rec,) = vjp((jnp.ones(()), jnp.zeros(())))
+        (g_gan,) = vjp((jnp.zeros(()), jnp.ones(())))
+        lam = jnp.linalg.norm(g_rec.ravel()) / (jnp.linalg.norm(g_gan.ravel()) + self.lambda_eps)
+        lam = jax.lax.stop_gradient(jnp.clip(lam, 0.0, 1e4))
+
+        active = (step > self.start_gan_train_step).astype(pred.dtype)
+        gan_term = self.gan_loss_weight * lam * gan_loss * active
+        metrics[f"gan_loss_{depth}"] = gan_term
+        metrics[f"lambda_{depth}"] = lam
+        return rec + gan_term, metrics
+
+    def generator_loss(self, ae_params, disc_params, perceiver_params, batch, rng, step):
+        x = batch["source"]
+        ae = self.ae_trainer.autoencoder
+        pred, pred_vertical, emb_loss, h_top, h_vers = ae.apply(
+            {"params": ae_params}, x, train=True,
+            method=ae.forward_with_hiddens,
+            rngs={"sample": rng, "dropout": jax.random.fold_in(rng, 1)},
+        )
+        disc_sg = jax.lax.stop_gradient(disc_params)
+        img_loss, metrics = self.vae_img_loss(
+            ae_params, disc_sg, perceiver_params, pred, h_top, x, step, 0
+        )
+        for i, (pred_i, h_i) in enumerate(zip(pred_vertical, h_vers)):
+            target_i = interpolate_area(x, pred_i.shape[1:-1])
+            li, mi = self.vae_img_loss(
+                ae_params, disc_sg, perceiver_params, pred_i, h_i, target_i, step, i + 1
+            )
+            img_loss = img_loss + li
+            metrics.update(mi)
+        loss = img_loss + self.ae_trainer.embedding_loss_weight * emb_loss
+        metrics.update(
+            img_loss=img_loss, emb_loss=emb_loss, loss_0=loss,
+            L1=jnp.mean(jnp.abs(pred - x)), L2=jnp.mean((pred - x) ** 2),
+        )
+        return loss, (metrics, pred, pred_vertical)
+
+    def discriminator_loss(self, disc_params, batch, pred, pred_vertical, step):
+        """Reference ``gan_img_loss`` summed over levels (:963-973, 1005-1013)."""
+        x = batch["source"]
+        active = (step > self.start_gan_train_step).astype(x.dtype)
+
+        def one(depth, p, t):
+            logits_real = self._disc_apply(disc_params, depth, t)
+            logits_fake = self._disc_apply(disc_params, depth, jax.lax.stop_gradient(p))
+            return self.gan_loss(logits_real, logits_fake) * active
+
+        loss = one(0, pred, x)
+        metrics = {"loss_1_0": loss}
+        for i, pred_i in enumerate(pred_vertical):
+            if i + 1 >= self.n_discriminators:
+                break
+            target_i = interpolate_area(x, pred_i.shape[1:-1])
+            li = one(i + 1, pred_i, target_i)
+            metrics[f"loss_1_{i + 1}"] = li
+            loss = loss + li
+        metrics["loss_1"] = loss
+        return loss, metrics
+
+
+def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = True) -> Callable:
+    """Returns ``step_fn(state, perceiver_params, batch, rng) -> (state, metrics)``
+    running generator then discriminator update on the same batch."""
+
+    def step_fn(state: GANTrainState, perceiver_params, batch, rng):
+        (g_loss, (g_metrics, pred, pred_ver)), g_grads = jax.value_and_grad(
+            trainer.generator_loss, has_aux=True
+        )(state.gen.params, state.disc.params, perceiver_params, batch, rng, state.step)
+        new_gen = state.gen.apply_gradients(g_grads)
+
+        (d_loss, d_metrics), d_grads = jax.value_and_grad(
+            trainer.discriminator_loss, has_aux=True
+        )(state.disc.params, batch, jax.lax.stop_gradient(pred),
+          jax.lax.stop_gradient(pred_ver), state.step + 1)
+        new_disc = state.disc.apply_gradients(d_grads)
+
+        metrics = {**g_metrics, **d_metrics, "loss": g_loss}
+        new_state = state.replace(step=state.step + 2, gen=new_gen, disc=new_disc)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,)) if donate else jax.jit(step_fn)
+
+
+def init_discriminators(
+    discriminator, rng, sample_shapes: Sequence[Tuple[int, ...]]
+) -> Dict:
+    """Init one parameter subtree per pyramid level (reference: nn.ModuleList of
+    identical Discriminators, latent_embedders.py:924-925)."""
+    params = {}
+    for i, shape in enumerate(sample_shapes):
+        params[f"disc_{i}"] = discriminator.init(
+            jax.random.fold_in(rng, i), jnp.zeros(shape, jnp.float32)
+        )["params"]
+    return params
