@@ -1,0 +1,124 @@
+"""Headline benchmark: 256x256 samples/sec/chip, 150-step DDIM (chest config).
+
+Protocol parity with the reference bulk-sampling path
+(``/root/reference/scripts/helpers/sample_dataset.py:24-41``: DDIM, guidance 1,
+conditional, chest latent 8x32x32 -> VAE-decoded 256x256):
+
+* UNet: hid (256,256,512,1024), strides (1,2,2,2), time emb 1024, 2 classes
+  (``scripts/train_diffusion.py:83-98``).
+* VAE decoder: emb 8, hid (64,128,256,512) (``scripts/train_latent_embedder_2d.py:68-81``).
+* The entire 150-step loop + decode is ONE jitted lax.scan program; bf16
+  params/activations (BASELINE: fp32 bit-faithful parity is tested in
+  tests/, bf16 is the validated production dtype).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured throughput / an analytic estimate of the reference
+on A100: per-sample UNet+decoder FLOPs taken from XLA's own cost analysis of
+this program, divided by an assumed 55 TFLOP/s effective for eager fp32/TF32
+torch on A100 (~35% of TF32 peak — generous for an eager per-step host loop).
+The reference publishes no measured number (BASELINE.md), so this constant is
+the documented stand-in.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 16
+STEPS = 150
+RUNS = 3
+A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
+
+
+def build():
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+    from medfusion_tpu.models.latent_embedders import VAE
+    from medfusion_tpu.models.unet import UNet
+    from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+    unet = UNet(in_ch=8, out_ch=8, hid_chs=(256, 256, 512, 1024),
+                kernel_sizes=(3, 3, 3, 3), strides=(1, 2, 2, 2),
+                time_emb_dim=1024, cond_emb_num_classes=2,
+                deep_supervision=0, use_attention="none")
+    vae = VAE(in_channels=3, out_channels=3, emb_channels=8,
+              hid_chs=(64, 128, 256, 512), deep_supervision=0)
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=1000, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
+    )
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, latent_embedder=vae)
+
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 32, 32, 8), jnp.float32)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    t0 = jnp.zeros((1,), jnp.int32)
+    params = {
+        "noise_estimator": unet.init(key, z, t0, t0)["params"],
+        "latent_embedder": vae.init({"params": key, "sample": key}, x)["params"],
+    }
+    params = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    return pipe, params
+
+
+def main():
+    pipe, params = build()
+    cond = jnp.zeros((BATCH,), jnp.int32)
+
+    def run(params, rng):
+        return pipe.sample(
+            params, rng, BATCH, (32, 32, 8), condition=cond,
+            steps=STEPS, use_ddim=True, guidance_scale=1.0, eta=1.0,
+        )
+
+    jitted = jax.jit(run)
+    compiled = jitted.lower(params, jax.random.PRNGKey(0)).compile()
+
+    # Per-sample FLOPs for the baseline estimate: one UNet forward x STEPS plus
+    # one decode, from XLA's cost analysis of each sub-program (cost analysis
+    # of the scanned program counts the loop body only once).
+    def flops_of(f, *args):
+        # FLOP counts are dtype/backend-independent; compile on local CPU to
+        # avoid extra round-trips through the remote TPU tunnel.
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                return float(jax.jit(f).lower(*args).compile().cost_analysis()["flops"])
+        except Exception:
+            return 0.0
+
+    z1 = jnp.zeros((1, 32, 32, 8), jnp.bfloat16)
+    t1 = jnp.zeros((1,), jnp.int32)
+    unet_flops = flops_of(
+        lambda p, z, t, c: pipe._apply_estimator(p, z, t, c, None, jnp.ones((1,), z.dtype))[0],
+        params, z1, t1, t1,
+    )
+    decode_flops = flops_of(lambda p, z: pipe.decode_latent(p, z), params, z1)
+    flops_per_sample = unet_flops * STEPS + decode_flops
+
+    # warmup (compile already done; one execution to settle)
+    compiled(params, jax.random.PRNGKey(0)).block_until_ready()
+    t_start = time.perf_counter()
+    for i in range(RUNS):
+        out = compiled(params, jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = time.perf_counter() - t_start
+
+    samples_per_sec = BATCH * RUNS / dt
+    if flops_per_sample > 0:
+        baseline_sps = A100_EFFECTIVE_FLOPS / flops_per_sample
+        vs_baseline = samples_per_sec / baseline_sps
+    else:
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "256x256 samples/sec/chip (150-step DDIM, chest latent 8x32x32, bf16)",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Device-mesh parallelism (the reference has none — SURVEY.md §2.4; this is
+where the TPU rebuild exceeds it)."""
+
+from medfusion_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    model_partition_spec,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+from medfusion_tpu.parallel.sampling import make_sharded_sampler  # noqa: F401

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the remote TPU backend and overrides
+# JAX_PLATFORMS (axon/register/pjrt.py sets jax_platforms="axon,cpu"); undo it
+# so tests run hermetically on the 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity oracles compare fp32 bit-level numerics vs torch; JAX CPU otherwise
 # runs convs/matmuls at reduced ("fastest") precision.
 jax.config.update("jax_default_matmul_precision", "highest")
