@@ -181,9 +181,10 @@ class BasicBlock(nn.Module):
             self.kernel_size,
             self.stride,
             zero_init=self.zero_conv,
+            name="conv",
         )(x)
         if self.norm_name is not None:
-            x = Norm(self.norm_name, self.out_channels)(x, train=train)
+            x = Norm(self.norm_name, self.out_channels, name="norm")(x, train=train)
         if self.dropout is not None:
             x = nn.Dropout(rate=float(self.dropout), deterministic=not train)(x)
         act = make_act(self.act_name)

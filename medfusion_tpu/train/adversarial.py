@@ -80,7 +80,7 @@ class AdversarialTrainer:
         """(kernel, bias) of the depth-th decoder out head. Depth 0 -> outc,
         depth i>0 -> outc_ver[i-1]; all are 1x1 zero-init BasicBlocks."""
         name = "outc" if depth == 0 else f"outc_ver_{depth - 1}"
-        leaf = ae_params[name]["ConvND_0"]["conv"]
+        leaf = ae_params[name]["conv"]["conv"]
         return leaf["kernel"], leaf.get("bias", 0.0)
 
     def _disc_apply(self, disc_params, depth: int, x):

@@ -120,7 +120,7 @@ def test_lambda_conv_head_matches_full_module_grad():
     x = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
     params = vae.init({"params": KEY, "sample": KEY}, x)["params"]
     # make the zero-init head non-trivial
-    params["outc"]["ConvND_0"]["conv"]["kernel"] = jnp.asarray(
+    params["outc"]["conv"]["conv"]["kernel"] = jnp.asarray(
         np.random.default_rng(4).standard_normal((1, 1, 4, 1)).astype(np.float32) * 0.1
     )
 
@@ -128,15 +128,15 @@ def test_lambda_conv_head_matches_full_module_grad():
         {"params": params}, x, method=vae.forward_with_hiddens,
         rngs={"sample": jax.random.PRNGKey(5)},
     )
-    kernel = params["outc"]["ConvND_0"]["conv"]["kernel"]
-    bias = params["outc"]["ConvND_0"]["conv"]["bias"]
+    kernel = params["outc"]["conv"]["conv"]["kernel"]
+    bias = params["outc"]["conv"]["conv"]["bias"]
     pred_head = _conv_head(h_top, kernel, bias)
     np.testing.assert_allclose(np.asarray(pred_head), np.asarray(pred), rtol=1e-5, atol=1e-6)
 
     # gradient through the shortcut == gradient through the real module
     def loss_via_module(k):
         p2 = jax.tree_util.tree_map(lambda v: v, params)
-        p2["outc"]["ConvND_0"]["conv"]["kernel"] = k
+        p2["outc"]["conv"]["conv"]["kernel"] = k
         out, _, _ = vae.apply({"params": p2}, x, rngs={"sample": jax.random.PRNGKey(5)})
         return jnp.sum(out**2)
 
