@@ -1,0 +1,105 @@
+"""Data pipeline: crawler, transforms, labels, datamodule sampling."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from medfusion_tpu.data import (
+    MSIvsMSSDataset,
+    SimpleDataModule,
+    SimpleDataset2D,
+    SimpleDataset3D,
+    SyntheticDataset2D,
+)
+from medfusion_tpu.data.transforms import (
+    Compose2D,
+    center_crop,
+    normalize_minmax,
+    random_background,
+    resize,
+    to_array_16bit,
+)
+
+
+@pytest.fixture
+def image_tree(tmp_path):
+    rng = np.random.default_rng(0)
+    for sub, n in [("MSIMUT", 3), ("MSS", 2)]:
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(n):
+            arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.png")
+    return tmp_path
+
+
+def test_simple_dataset_crawl_and_range(image_tree):
+    ds = SimpleDataset2D(image_tree, crawler_ext="png", image_resize=32, image_crop=32)
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["source"].shape == (32, 32, 3)
+    assert item["source"].dtype == np.float32
+    assert -1.0 <= item["source"].min() and item["source"].max() <= 1.0
+    assert item["source"].min() < -0.3 and item["source"].max() > 0.3  # actually centered
+    assert isinstance(item["uid"], str)
+
+
+def test_msi_dataset_labels_from_parent_dir(image_tree):
+    ds = MSIvsMSSDataset(image_tree, crawler_ext="png")
+    targets = {str(ds.item_pointers[i].parent): ds[i]["target"] for i in range(len(ds))}
+    assert targets == {"MSIMUT": 0, "MSS": 1}
+
+
+def test_transforms_helpers():
+    img = Image.fromarray(np.zeros((40, 20), np.uint8))
+    r = resize(img, 10)  # shorter side -> 10, keep aspect
+    assert r.size == (10, 20)  # PIL (W, H)
+    arr = np.arange(36, dtype=np.float32).reshape(6, 6, 1)
+    c = center_crop(arr, 2)
+    np.testing.assert_array_equal(c[:, :, 0], [[14, 15], [20, 21]])
+    # pad path
+    p = center_crop(arr, (8, 4))
+    assert p.shape == (8, 4, 1)
+    a16 = to_array_16bit(Image.fromarray(np.full((4, 4), 1000, np.int32), mode="I"))
+    assert a16.dtype == np.int32 and a16.shape == (4, 4, 1)
+    nm = normalize_minmax(np.asarray([[0.0, 5.0], [10.0, 2.5]]))
+    assert nm.min() == 0.0 and nm.max() == 1.0
+    rb = random_background(np.asarray([0.0, 0.5, 0.0], np.float32), np.random.default_rng(0))
+    assert (rb != 0).all()
+
+
+def test_datamodule_batching_and_weighted_sampling():
+    ds = SyntheticDataset2D(n=40, image_size=16, num_classes=2, seed=0)
+    # force known targets: even index -> 0, odd -> 1
+    ds._targets = np.arange(40) % 2
+    weights = [10.0 if t == 1 else 1.0 for t in ds._targets]
+    dm = SimpleDataModule(ds, ds_val=ds, batch_size=8, num_workers=2, seed=0, weights=weights)
+    targets = []
+    n_batches = 0
+    for batch in dm.train_dataloader(epoch=0):
+        assert batch["source"].shape == (8, 16, 16, 3)
+        targets.extend(batch["target"].tolist())
+        n_batches += 1
+    assert n_batches == 5  # drop_last with 40/8
+    # class 1 is 10x oversampled -> dominates
+    assert np.mean(np.asarray(targets) == 1) > 0.75
+    # determinism per epoch
+    b0 = next(iter(dm.train_dataloader(epoch=3)))
+    b1 = next(iter(dm.train_dataloader(epoch=3)))
+    np.testing.assert_array_equal(b0["source"], b1["source"])
+    # val loader keeps order and remainder
+    val_counts = sum(b["source"].shape[0] for b in dm.val_dataloader())
+    assert val_counts == 40
+
+
+def test_dataset_3d_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        np.save(tmp_path / f"vol_{i}.npy", rng.normal(size=(8, 12, 12)).astype(np.float32))
+    ds = SimpleDataset3D(tmp_path, crawler_ext="npy", image_crop=(8, 10, 10), use_znorm=True)
+    item = ds[0]
+    assert item["source"].shape == (8, 10, 10, 1)
+    np.testing.assert_allclose(item["source"].mean(), 0.0, atol=1e-4)
+    ds2 = SimpleDataset3D(tmp_path, crawler_ext="npy", use_znorm=False)
+    s = ds2[0]["source"]
+    np.testing.assert_allclose([s.min(), s.max()], [-1.0, 1.0], atol=1e-5)
