@@ -1,0 +1,125 @@
+"""Named presets reproducing the reference script literals.
+
+chest  — CheXpert_2 256x256, latent 8x32x32
+         (``/root/reference/scripts/train_diffusion.py:47-132``,
+          ``train_latent_embedder_2d.py:59-81``; sampling ``sample.py:45``)
+eye    — AIROGS 256x256, latent 4x32x32 (``streamlit/pages/eye.py:34``)
+colon  — MSIvsMSS_2 512x512 source, latent 4x64x64 (``streamlit/pages/colon.py``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Preset:
+    name: str
+    image_size: int
+    in_channels: int
+    latent_shape: Tuple[int, int, int]  # (H, W, C) channels-last
+    emb_channels: int
+    num_classes: Optional[int]
+    vae_hid_chs: Tuple[int, ...] = (64, 128, 256, 512)
+    unet_hid_chs: Tuple[int, ...] = (256, 256, 512, 1024)
+    # diffusion schedule (train_diffusion.py:102-108)
+    timesteps: int = 1000
+    schedule: str = "scaled_linear"
+    beta_start: float = 0.002
+    beta_end: float = 0.02
+    cfg_dropout: float = 0.5
+    # training (train_diffusion.py:38,55; train_latent_embedder_2d.py:61)
+    diffusion_batch_size: int = 32
+    diffusion_lr: float = 1e-4
+    ae_batch_size: int = 8
+    ae_lr: float = 1e-4
+    ae_loss: str = "l2"  # reference uses MSELoss for the chest VAE (:76)
+    ae_embedding_loss_weight: float = 1e-6
+    ae_deep_supervision: int = 1
+    dataset: str = "chexpert_2"
+
+
+PRESETS = {
+    "chest": Preset(
+        name="chest", image_size=256, in_channels=3, latent_shape=(32, 32, 8),
+        emb_channels=8, num_classes=2, dataset="chexpert_2",
+    ),
+    "eye": Preset(
+        name="eye", image_size=256, in_channels=3, latent_shape=(32, 32, 4),
+        emb_channels=4, num_classes=2, dataset="airogs",
+    ),
+    "colon": Preset(
+        name="colon", image_size=512, in_channels=3, latent_shape=(64, 64, 4),
+        emb_channels=4, num_classes=2, dataset="msivsmss_2",
+    ),
+    # hermetic smoke preset: tiny everything, synthetic data
+    "smoke": Preset(
+        name="smoke", image_size=32, in_channels=3, latent_shape=(8, 8, 2),
+        emb_channels=2, num_classes=2, vae_hid_chs=(8, 16, 32),
+        unet_hid_chs=(16, 32), timesteps=20, diffusion_batch_size=4,
+        ae_batch_size=4, dataset="synthetic", ae_deep_supervision=0,
+    ),
+}
+
+
+def build_vae(p: Preset):
+    from medfusion_tpu.models.latent_embedders import VAE
+
+    n_groups = 8 if min(p.vae_hid_chs) >= 8 else min(p.vae_hid_chs)
+    return VAE(
+        in_channels=p.in_channels, out_channels=p.in_channels,
+        emb_channels=p.emb_channels, hid_chs=p.vae_hid_chs,
+        kernel_sizes=(3,) * len(p.vae_hid_chs),
+        strides=(1,) + (2,) * (len(p.vae_hid_chs) - 1),
+        deep_supervision=p.ae_deep_supervision,
+        norm_name=("GROUP", {"num_groups": n_groups, "affine": True}),
+    )
+
+
+def build_unet(p: Preset):
+    from medfusion_tpu.models.unet import UNet
+
+    n = len(p.unet_hid_chs)
+    n_groups = 32 if min(p.unet_hid_chs) >= 32 else min(p.unet_hid_chs) // 2
+    return UNet(
+        in_ch=p.emb_channels, out_ch=p.emb_channels,
+        hid_chs=p.unet_hid_chs, kernel_sizes=(3,) * n,
+        strides=(1,) + (2,) * (n - 1),
+        time_emb_dim=p.unet_hid_chs[-1],
+        cond_emb_num_classes=p.num_classes,
+        deep_supervision=0, use_res_block=True, use_attention="none",
+        norm_name=("GROUP", {"num_groups": n_groups, "affine": True}),
+    )
+
+
+def build_scheduler(p: Preset):
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+
+    return GaussianDiffusionSchedule.create(
+        timesteps=p.timesteps, schedule_strategy=p.schedule,
+        beta_start=p.beta_start, beta_end=p.beta_end,
+    )
+
+
+def build_dataset(p: Preset, data_root: Optional[str], n_synthetic: int = 64, seed: int = 0):
+    from medfusion_tpu.data import (
+        AIROGSDataset,
+        CheXpert_2_Dataset,
+        MSIvsMSS_2_Dataset,
+        SyntheticDataset2D,
+    )
+
+    if p.dataset == "synthetic" or data_root is None:
+        return SyntheticDataset2D(n=n_synthetic, image_size=p.image_size,
+                                  channels=p.in_channels, num_classes=p.num_classes,
+                                  seed=seed)
+    common = dict(image_resize=p.image_size, image_crop=p.image_size,
+                  augment_horizontal_flip=True)
+    if p.dataset == "chexpert_2":
+        return CheXpert_2_Dataset(data_root, **common)
+    if p.dataset == "airogs":
+        return AIROGSDataset(data_root, crawler_ext="jpg", **common)
+    if p.dataset == "msivsmss_2":
+        return MSIvsMSS_2_Dataset(data_root, crawler_ext="jpg", **common)
+    raise ValueError(f"unknown dataset {p.dataset!r}")

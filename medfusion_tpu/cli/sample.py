@@ -1,0 +1,82 @@
+"""Sample a grid per condition (smoke demo).
+
+CLI parity with ``/root/reference/scripts/sample.py:26-57``: for condition in
+{0, 1, None}, sample n images (DDIM 150 steps, guidance 8), save grids and the
+cond-vs-uncond absolute-difference image.
+
+Usage:
+  python -m medfusion_tpu.cli.sample --preset chest --ckpt runs/diffusion/checkpoints \
+      [--vae-ckpt ...] [--n 16] [--steps 150] [--guidance 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medfusion_tpu.cli.presets import PRESETS, build_scheduler, build_unet, build_vae
+from medfusion_tpu.cli.train_diffusion import load_vae_params
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+from medfusion_tpu.train import TrainState
+from medfusion_tpu.utils import checkpoint as C
+from medfusion_tpu.utils.logging import save_image_grid
+
+
+def load_pipeline(args, p):
+    key = jax.random.PRNGKey(args.seed)
+    vae = build_vae(p)
+    unet = build_unet(p)
+    pipe = DiffusionPipeline(scheduler=build_scheduler(p), noise_estimator=unet,
+                             latent_embedder=vae, do_input_centering=False, clip_x0=False)
+    vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
+    h, w, c = p.latent_shape
+    z0 = np.zeros((1, h, w, c), np.float32)
+    t0 = np.zeros((1,), np.int32)
+    unet_params = unet.init(key, z0, t0, t0 if p.num_classes else None)["params"]
+    if args.ckpt:
+        template = TrainState.create(unet_params, optax.adamw(1e-4), use_ema=args.ema)
+        state = C.restore_checkpoint(args.ckpt, template)
+        unet_params = state.inference_params
+    return pipe, {"noise_estimator": unet_params, "latent_embedder": vae_params}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
+    ap.add_argument("--ckpt", default=None, help="diffusion checkpoint dir")
+    ap.add_argument("--vae-ckpt", default=None)
+    ap.add_argument("--out", default="results/samples")
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--guidance", type=float, default=8.0)
+    ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    p = PRESETS[args.preset]
+    pipe, params = load_pipeline(args, p)
+    out = Path(args.out)
+    steps = min(args.steps, p.timesteps)
+
+    results = {}
+    for cond_val in ([0, 1, None] if p.num_classes else [None]):
+        cond = None if cond_val is None else jnp.full((args.n,), cond_val, jnp.int32)
+        rng = jax.random.PRNGKey(args.seed)  # same noise across conditions (sample.py:37)
+        imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
+                           steps=steps, use_ddim=True,
+                           guidance_scale=args.guidance if cond_val is not None else 1.0)
+        results[cond_val] = np.asarray(imgs)
+        save_image_grid(results[cond_val], out / f"sample_cond_{cond_val}.png")
+        print(f"condition={cond_val}: wrote {out}/sample_cond_{cond_val}.png")
+
+    if 0 in results and 1 in results:
+        save_image_grid(np.abs(results[0] - results[1]), out / "sample_diff.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Train the latent embedder (VAE), optionally adversarially (VAEGAN).
+
+CLI parity with ``/root/reference/scripts/train_latent_embedder_2d.py``:
+same model/loss/optimizer literals via presets, ckpt every N steps with
+best-pointer on train L1 (:145-152), image dumps every sample_every_n_steps.
+
+Usage:
+  python -m medfusion_tpu.cli.train_autoencoder --preset chest --data-root ... \
+      [--gan] [--max-steps N] [--out runs/ae]
+  python -m medfusion_tpu.cli.train_autoencoder --preset smoke --max-steps 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+from medfusion_tpu.cli.presets import PRESETS, build_dataset, build_vae
+from medfusion_tpu.data import SimpleDataModule
+from medfusion_tpu.models.latent_embedders import Discriminator
+from medfusion_tpu.train import (
+    AdversarialTrainer,
+    AutoencoderTrainer,
+    GANTrainState,
+    TrainState,
+    make_adversarial_train_step,
+    make_autoencoder_train_step,
+)
+from medfusion_tpu.train.adversarial import init_discriminators
+from medfusion_tpu.utils import checkpoint as C
+from medfusion_tpu.utils.logging import MetricsWriter, save_image_grid
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--out", default="runs/ae")
+    ap.add_argument("--gan", action="store_true", help="VAEGAN two-player training")
+    ap.add_argument("--max-steps", type=int, default=100000)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--sample-every", type=int, default=1000)
+    ap.add_argument("--start-gan-step", type=int, default=50000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    p = PRESETS[args.preset]
+    batch_size = args.batch_size or p.ae_batch_size
+    out = Path(args.out)
+    writer = MetricsWriter(out / "logs")
+
+    vae = build_vae(p)
+    ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
+    dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed,
+                          weights=ds.get_weights())
+
+    key = jax.random.PRNGKey(args.seed)
+    x0 = np.zeros((batch_size, p.image_size, p.image_size, p.in_channels), np.float32)
+    vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
+
+    ae_trainer = AutoencoderTrainer(
+        autoencoder=vae, flavor="vae", pixel_loss=p.ae_loss, perceiver=None,
+        embedding_loss_weight=p.ae_embedding_loss_weight,
+    )
+    if args.gan:
+        disc = Discriminator(spatial_dims=2)
+        trainer = AdversarialTrainer(
+            ae_trainer=ae_trainer, discriminator=disc,
+            n_discriminators=p.ae_deep_supervision + 1,
+            start_gan_train_step=args.start_gan_step,
+        )
+        shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
+                  for i in range(p.ae_deep_supervision + 1)]
+        disc_params = init_discriminators(disc, key, shapes)
+        # reference VAEGAN lr 1e-6 for both players (latent_embedders.py:888-889)
+        state = GANTrainState.create(vae_params, disc_params,
+                                     optax.adam(1e-6), optax.adam(1e-6))
+        step_fn = make_adversarial_train_step(trainer, donate=False)
+    else:
+        state = TrainState.create(vae_params, optax.adam(p.ae_lr))
+        step_fn = make_autoencoder_train_step(ae_trainer, donate=False)
+
+    ckpt_dir = out / "checkpoints"
+    if args.resume and C.latest_step(ckpt_dir) is not None:
+        state = C.restore_checkpoint(ckpt_dir, state)
+        print(f"resumed from step {C.latest_step(ckpt_dir)}")
+
+    step = 0
+    t0 = time.time()
+    epoch = 0
+    while step < args.max_steps:
+        for batch in dm.train_dataloader(epoch=epoch):
+            batch = {"source": jax.device_put(batch["source"])}
+            state, metrics = step_fn(state, None, batch, jax.random.fold_in(key, step))
+            step += 1
+            if step % 50 == 0 or step == 1:
+                writer.log_scalars(step, metrics)
+                print(f"step {step} loss {float(metrics['loss']):.4f} "
+                      f"({(time.time() - t0):.1f}s)")
+            if step % args.ckpt_every == 0 or step == args.max_steps:
+                C.save_checkpoint(ckpt_dir, state, step,
+                                  config=dataclasses.asdict(p), keep_top_k=5)
+                C.save_best_checkpoint(ckpt_dir, step, float(metrics["L1"]))
+            if step % args.sample_every == 0:
+                params = state.gen.params if args.gan else state.params
+                pred, _, _ = vae.apply({"params": params}, batch["source"],
+                                       rngs={"sample": jax.random.fold_in(jax.random.fold_in(key, 1_000_003), step)})
+                grid = np.concatenate([np.asarray(batch["source"][:8]), np.asarray(pred[:8])])
+                save_image_grid(grid, out / "images" / f"sample_{step}.png", nrow=8)
+            if step >= args.max_steps:
+                break
+        epoch += 1
+    writer.close()
+    print(f"done: {step} steps -> {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Train the latent diffusion model.
+
+CLI parity with ``/root/reference/scripts/train_diffusion.py``: frozen VAE from
+checkpoint (:113-114), UNet(hid 256/256/512/1024, no attention) (:83-98),
+T=1000 scaled_linear 0.002->0.02 (:102-108), eps-objective, CFG dropout 0.5,
+AdamW 1e-4, L1, batch 32 (:117-132), ckpt every N steps monitoring train/loss
+(:148-155).
+
+Usage:
+  python -m medfusion_tpu.cli.train_diffusion --preset chest --data-root ... \
+      --vae-ckpt runs/ae/checkpoints [--out runs/diffusion]
+  python -m medfusion_tpu.cli.train_diffusion --preset smoke --max-steps 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+from medfusion_tpu.cli.presets import (
+    PRESETS,
+    build_dataset,
+    build_scheduler,
+    build_unet,
+    build_vae,
+)
+from medfusion_tpu.data import SimpleDataModule
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+from medfusion_tpu.train import TrainState, make_diffusion_train_step
+from medfusion_tpu.utils import checkpoint as C
+from medfusion_tpu.utils.logging import MetricsWriter, save_image_grid
+
+
+def load_vae_params(vae, preset, ckpt_path, key):
+    """Random init, or restore from an AE run dir / torch .ckpt file."""
+    x0 = np.zeros((1, preset.image_size, preset.image_size, preset.in_channels), np.float32)
+    params = vae.init({"params": key, "sample": key}, x0)["params"]
+    if ckpt_path is None:
+        return params
+    ckpt_path = Path(ckpt_path)
+    if ckpt_path.suffix == ".ckpt":  # reference Lightning checkpoint
+        from medfusion_tpu.utils.torch_compat import convert_state_dict, load_torch_checkpoint
+
+        return convert_state_dict(load_torch_checkpoint(str(ckpt_path)))
+    from medfusion_tpu.train import TrainState as TS
+
+    template = TS.create(params, optax.adam(1e-4))
+    return C.restore_checkpoint(ckpt_path, template).params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--vae-ckpt", default=None)
+    ap.add_argument("--out", default="runs/diffusion")
+    ap.add_argument("--max-steps", type=int, default=200000)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--sample-every", type=int, default=0, help="0 = off")
+    ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    p = PRESETS[args.preset]
+    batch_size = args.batch_size or p.diffusion_batch_size
+    out = Path(args.out)
+    writer = MetricsWriter(out / "logs")
+    key = jax.random.PRNGKey(args.seed)
+
+    vae = build_vae(p)
+    unet = build_unet(p)
+    sched = build_scheduler(p)
+    pipe = DiffusionPipeline(
+        scheduler=sched, noise_estimator=unet, latent_embedder=vae,
+        estimator_objective="x_T", estimate_variance=False,
+        use_self_conditioning=False,
+        classifier_free_guidance_dropout=p.cfg_dropout,
+        do_input_centering=False, clip_x0=False, loss="l1",
+    )
+
+    vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
+    h, w, c = p.latent_shape
+    z0 = np.zeros((batch_size, h, w, c), np.float32)
+    t0_arr = np.zeros((batch_size,), np.int32)
+    unet_params = unet.init(key, z0, t0_arr, t0_arr if p.num_classes else None)["params"]
+
+    state = TrainState.create(unet_params, optax.adamw(p.diffusion_lr), use_ema=args.use_ema)
+    step_fn = make_diffusion_train_step(pipe, donate=False)
+
+    ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
+    dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed, weights=ds.get_weights())
+
+    ckpt_dir = out / "checkpoints"
+    if args.resume and C.latest_step(ckpt_dir) is not None:
+        state = C.restore_checkpoint(ckpt_dir, state)
+        print(f"resumed from step {C.latest_step(ckpt_dir)}")
+
+    step, epoch, t_start = int(state.step), 0, time.time()
+    while step < args.max_steps:
+        for batch in dm.train_dataloader(epoch=epoch):
+            dev_batch = {"source": jax.device_put(batch["source"])}
+            if "target" in batch and p.num_classes:
+                dev_batch["target"] = jax.device_put(batch["target"].astype(np.int32))
+            state, metrics = step_fn(state, vae_params, dev_batch,
+                                     jax.random.fold_in(key, step))
+            step += 1
+            if step % 50 == 0 or step == 1:
+                writer.log_scalars(step, metrics)
+                print(f"step {step} loss {float(metrics['loss']):.4f} "
+                      f"({(time.time() - t_start):.1f}s)")
+            if step % args.ckpt_every == 0 or step == args.max_steps:
+                C.save_checkpoint(ckpt_dir, state, step,
+                                  config=dataclasses.asdict(p), keep_top_k=2)
+                C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]))
+            if args.sample_every and step % args.sample_every == 0:
+                params = {"noise_estimator": state.inference_params,
+                          "latent_embedder": vae_params}
+                cond = (jax.numpy.arange(4, dtype=jax.numpy.int32) % p.num_classes
+                        if p.num_classes else None)
+                imgs = pipe.sample(params, jax.random.fold_in(jax.random.fold_in(key, 1_000_003), step), 4,
+                                   p.latent_shape, condition=cond,
+                                   steps=min(50, p.timesteps), use_ddim=True)
+                save_image_grid(np.asarray(imgs), out / "images" / f"sample_{step}.png")
+            if step >= args.max_steps:
+                break
+        epoch += 1
+    writer.close()
+    print(f"done: {step} steps -> {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,7 @@ def make_sharded_sampler(
         _sample,
         static_argnames=("num_samples",),
         in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)),
-        out_shardings=batch_sharding(mesh, 2 + len(img_size)),
+        out_shardings=batch_sharding(mesh, 1 + len(img_size)),
     )
     plain = jax.jit(_sample, static_argnames=("num_samples",))
 

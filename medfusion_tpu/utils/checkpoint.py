@@ -1,0 +1,114 @@
+"""Checkpointing: Orbax pytree snapshots + best-checkpoint pointer.
+
+Replaces the reference's Lightning ModelCheckpoint + ``best_checkpoint.json``
+indirection (``/root/reference/medical_diffusion/models/model_base.py:51-66``,
+trainer configs ``scripts/train_diffusion.py:148-155``):
+
+* ``save_checkpoint(dir, state, step, config)`` — atomic Orbax save of the full
+  TrainState pytree (params, EMA, opt state, step) + a JSON config snapshot.
+* ``save_best_checkpoint`` / ``load_best_checkpoint`` — the reference's
+  best-pointer pattern (a JSON file naming the best step).
+* ``load_pretrained`` / ``filter_weights`` — partial/filtered weight loading
+  (model_base.py:68-85 semantics: keep only leaves whose path matches, and
+  whose shapes agree with the target tree).
+
+Orbax handles multi-host coordination on pods; ``keep_top_k`` mirrors
+Lightning's ``save_top_k``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+BEST_FILE = "best_checkpoint.json"
+CONFIG_FILE = "config.json"
+
+
+def _manager(ckpt_dir: Path, keep_top_k: Optional[int] = None) -> ocp.CheckpointManager:
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep_top_k, create=True)
+    return ocp.CheckpointManager(Path(ckpt_dir).absolute(), options=options)
+
+
+def save_checkpoint(ckpt_dir, state: Any, step: int, config: Optional[Dict] = None,
+                    keep_top_k: Optional[int] = None) -> None:
+    ckpt_dir = Path(ckpt_dir)
+    with _manager(ckpt_dir, keep_top_k) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+    if config is not None:
+        (ckpt_dir / CONFIG_FILE).write_text(json.dumps(config, indent=2, default=str))
+
+
+def restore_checkpoint(ckpt_dir, template: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure/shardings of ``template`` (an abstract or
+    concrete TrainState pytree)."""
+    with _manager(Path(ckpt_dir)) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        return mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+
+def latest_step(ckpt_dir) -> Optional[int]:
+    try:
+        with _manager(Path(ckpt_dir)) as mgr:
+            return mgr.latest_step()
+    except Exception:
+        return None
+
+
+def save_best_checkpoint(ckpt_dir, step: int, metric: float, minimize: bool = True) -> bool:
+    """Update the best-pointer if ``metric`` improves (model_base.py:51-61).
+    Returns True when the pointer moved."""
+    path = Path(ckpt_dir) / BEST_FILE
+    best = None
+    if path.exists():
+        best = json.loads(path.read_text())
+    improved = (
+        best is None
+        or (minimize and metric < best["metric"])
+        or (not minimize and metric > best["metric"])
+    )
+    if improved:
+        path.write_text(json.dumps({"step": step, "metric": float(metric),
+                                    "minimize": minimize}))
+    return improved
+
+
+def load_best_checkpoint(ckpt_dir, template: Any) -> Any:
+    """Restore the step named by the best-pointer (model_base.py:63-66)."""
+    pointer = json.loads((Path(ckpt_dir) / BEST_FILE).read_text())
+    return restore_checkpoint(ckpt_dir, template, step=pointer["step"])
+
+
+def filter_weights(source: Any, target: Any, path_regex: Optional[str] = None) -> Any:
+    """Partial weight transfer (model_base.py:68-85): take ``source`` leaves
+    whose path matches ``path_regex`` (all, if None) AND whose shape matches
+    ``target``; keep the target leaf otherwise."""
+    pat = re.compile(path_regex) if path_regex else None
+
+    src_flat = {
+        "/".join(p.key for p in kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(source)[0]
+    }
+
+    def pick(kp, tgt_leaf):
+        path = "/".join(p.key for p in kp)
+        src = src_flat.get(path)
+        if src is None or np.shape(src) != np.shape(tgt_leaf):
+            return tgt_leaf
+        if pat is not None and not pat.search(path):
+            return tgt_leaf
+        return src
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target), [pick(kp, v) for kp, v in flat]
+    )
