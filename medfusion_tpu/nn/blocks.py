@@ -62,20 +62,58 @@ def make_act(act_name: ActName):
     raise NotImplementedError(f"activation {act_name!r}")
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm via the Pallas fused kernel; optional fused SiLU epilogue.
+    Param names (scale/bias) match nn.GroupNorm for checkpoint compatibility."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    affine: bool = True
+    apply_silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from medfusion_tpu.ops.group_norm import fused_group_norm_silu
+
+        c = x.shape[-1]
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+        else:
+            scale = jnp.ones((c,), x.dtype)
+            bias = jnp.zeros((c,), x.dtype)
+        return fused_group_norm_silu(x, scale, bias, self.num_groups,
+                                     eps=self.epsilon, apply_silu=self.apply_silu)
+
+
 class Norm(nn.Module):
-    """MONAI get_norm_layer equivalent (GROUP/BATCH/LAYER/INSTANCE), torch eps."""
+    """MONAI get_norm_layer equivalent (GROUP/BATCH/LAYER/INSTANCE), torch eps.
+
+    ``fuse_silu=True`` (only honored for GROUP + the fused-kernel switch on)
+    folds the following SiLU into the Pallas one-pass kernel."""
 
     norm_name: NormName
     channels: int
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from medfusion_tpu import ops
+
         kind, kw = _parse(self.norm_name)
         if kind is None:
             return x
         if kind == "group":
             num_groups = kw.get("num_groups", 32)
             affine = kw.get("affine", True)
+            if ops.fused_group_norm_enabled():
+                return FusedGroupNorm(
+                    num_groups=num_groups,
+                    epsilon=kw.get("eps", 1e-5),
+                    affine=affine,
+                    apply_silu=self.fuse_silu,
+                    name="norm",
+                )(x)
             return nn.GroupNorm(
                 num_groups=num_groups,
                 epsilon=kw.get("eps", 1e-5),
@@ -175,6 +213,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from medfusion_tpu import ops
+
         x = ConvND(
             self.spatial_dims,
             self.out_channels,
@@ -183,8 +223,21 @@ class BasicBlock(nn.Module):
             zero_init=self.zero_conv,
             name="conv",
         )(x)
+        norm_kind, _ = _parse(self.norm_name)
+        act_kind, _ = _parse(self.act_name)
+        # One-pass GroupNorm+SiLU Pallas fusion when the epilogue is pure SiLU.
+        fuse = (
+            ops.fused_group_norm_enabled()
+            and norm_kind == "group"
+            and act_kind in ("swish", "silu")
+            and self.dropout is None
+        )
         if self.norm_name is not None:
-            x = Norm(self.norm_name, self.out_channels, name="norm")(x, train=train)
+            x = Norm(self.norm_name, self.out_channels, fuse_silu=fuse, name="norm")(
+                x, train=train
+            )
+        if fuse:
+            return x
         if self.dropout is not None:
             x = nn.Dropout(rate=float(self.dropout), deterministic=not train)(x)
         act = make_act(self.act_name)
