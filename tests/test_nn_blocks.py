@@ -61,8 +61,8 @@ def test_basic_block_conv_norm_act_order():
     m = mnn.BasicBlock(2, 32, 3, 1, ("GROUP", {"num_groups": 8, "affine": True}), ("SWISH", {}))
     params = m.init(KEY, jnp.asarray(x))["params"]
     y = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
-    conv = O.to_torch_conv(tnn.Conv2d(16, 32, 3, 1, 1), params["ConvND_0"])
-    gn = O.to_torch_norm(tnn.GroupNorm(8, 32), params["Norm_0"])
+    conv = O.to_torch_conv(tnn.Conv2d(16, 32, 3, 1, 1), params["conv"])
+    gn = O.to_torch_norm(tnn.GroupNorm(8, 32), params["norm"])
     yt = O.nhwc(TF.silu(gn(conv(O.nchw(x)))))
     np.testing.assert_allclose(y, yt, rtol=1e-4, atol=1e-5)
 
@@ -88,8 +88,8 @@ def test_unet_res_block_with_emb_parity():
 
     # torch replica
     def mk_block(p, cin):
-        conv = O.to_torch_conv(tnn.Conv2d(cin, ch_out, 3, 1, 1), p["basic_block"]["ConvND_0"])
-        gn = O.to_torch_norm(tnn.GroupNorm(8, ch_out), p["basic_block"]["Norm_0"])
+        conv = O.to_torch_conv(tnn.Conv2d(cin, ch_out, 3, 1, 1), p["basic_block"]["conv"])
+        gn = O.to_torch_norm(tnn.GroupNorm(8, ch_out), p["basic_block"]["norm"])
         res = None
         if cin != ch_out:
             res = O.to_torch_conv(tnn.Conv2d(cin, ch_out, 1, 1, 0), p["conv_res"])
