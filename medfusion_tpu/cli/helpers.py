@@ -1,0 +1,153 @@
+"""Helper commands mirroring the reference ``scripts/helpers``.
+
+* ``latent-stats``   — one batch -> encode -> latent histogram + decode dump
+  (``/root/reference/scripts/helpers/sample_latent_embedder.py:63-84``).
+* ``extract-vae``    — pull the VAE subtree out of a VAEGAN (GANTrainState)
+  checkpoint into a standalone TrainState checkpoint
+  (``scripts/helpers/dump_discrimnator.py:10-25`` — the reference needs a
+  Trainer hack; here it is a pytree re-save).
+* ``export-gif``     — sampling-trajectory GIF for the README/demo
+  (``scripts/helpers/export_example_gifs.py`` capability).
+* ``export-images``  — grid of random dataset images
+  (``scripts/helpers/export_random_images.py``).
+
+Usage: python -m medfusion_tpu.cli.helpers <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medfusion_tpu.cli.presets import PRESETS, build_dataset, build_vae
+from medfusion_tpu.cli.train_diffusion import load_vae_params
+from medfusion_tpu.utils import checkpoint as C
+from medfusion_tpu.utils.logging import save_image_grid, to_uint8
+
+
+def latent_stats(args):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    p = PRESETS[args.preset]
+    key = jax.random.PRNGKey(args.seed)
+    vae = build_vae(p)
+    vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
+    ds = build_dataset(p, args.data_root, n_synthetic=args.n, seed=args.seed)
+    x = jnp.asarray(np.stack([ds[i]["source"] for i in range(min(args.n, len(ds)))]))
+    z = vae.apply({"params": vae_params}, x, method=vae.encode, rngs={"sample": key})
+    dec = vae.apply({"params": vae_params}, z, method=vae.decode)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    plt.figure(figsize=(6, 4))
+    plt.hist(np.asarray(z).ravel(), bins=100)
+    plt.title(f"latent histogram (mean {float(z.mean()):.3f}, std {float(z.std()):.3f})")
+    plt.savefig(out / "latent_hist.png", dpi=100)
+    save_image_grid(np.concatenate([np.asarray(x), np.asarray(dec)]),
+                    out / "roundtrip.png", nrow=x.shape[0])
+    print(f"latent shape {z.shape}, mean {float(z.mean()):.4f}, std {float(z.std()):.4f}")
+    print(f"wrote {out}/latent_hist.png and {out}/roundtrip.png")
+
+
+def extract_vae(args):
+    """GANTrainState ckpt -> standalone VAE TrainState ckpt."""
+    from medfusion_tpu.models.latent_embedders import Discriminator
+    from medfusion_tpu.train import GANTrainState, TrainState
+    from medfusion_tpu.train.adversarial import init_discriminators
+
+    p = PRESETS[args.preset]
+    key = jax.random.PRNGKey(0)
+    vae = build_vae(p)
+    x0 = np.zeros((1, p.image_size, p.image_size, p.in_channels), np.float32)
+    vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
+    disc = Discriminator(spatial_dims=2)
+    shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
+              for i in range(p.ae_deep_supervision + 1)]
+    template = GANTrainState.create(
+        vae_params, init_discriminators(disc, key, shapes),
+        optax.adam(1e-6), optax.adam(1e-6),
+    )
+    state = C.restore_checkpoint(args.ckpt, template)
+    out_state = TrainState.create(state.gen.params, optax.adam(p.ae_lr))
+    out_state = out_state.replace(step=state.step)
+    C.save_checkpoint(args.out, out_state, int(state.step))
+    print(f"extracted VAE (step {int(state.step)}) -> {args.out}")
+
+
+def export_gif(args):
+    """Denoise-trajectory GIF: sample with per-step frames (host loop over
+    pipeline.estimate — intentionally eager, it is a media exporter)."""
+    from PIL import Image
+
+    from medfusion_tpu.cli.sample import load_pipeline
+
+    p = PRESETS[args.preset]
+    pipe, params = load_pipeline(args, p)
+    sched = pipe.scheduler
+    steps = min(args.steps, p.timesteps)
+    ts = np.asarray(sched.ddim_timesteps(steps))[::-1]
+    rng = jax.random.PRNGKey(args.seed)
+    k_init, rng = jax.random.split(rng)
+    x = jax.random.normal(k_init, (1, *p.latent_shape))
+    frames = []
+    for i, t_scalar in enumerate(ts):
+        rng, k = jax.random.split(rng)
+        tb = jnp.full((1,), int(t_scalar), jnp.int32)
+        noise = jax.random.normal(k, x.shape, x.dtype)
+        x_prior, x_0, x_T, _ = pipe.estimate(params, x, tb, noise=noise)
+        if i < steps - 1:
+            t_next = int(ts[i + 1]) if i + 1 < steps else 0
+            from medfusion_tpu.core import schedules as S
+
+            x = S.ddim_step(sched, x_0, x_T, int(t_scalar), t_next,
+                            jnp.zeros_like(x), eta=0.0)
+        else:
+            x = x_prior
+        img = pipe.decode_latent(params, x)
+        frames.append(Image.fromarray(to_uint8(np.asarray(img)[0])))
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    frames[0].save(out, save_all=True, append_images=frames[1:], duration=80, loop=0)
+    print(f"wrote {out} ({len(frames)} frames)")
+
+
+def export_images(args):
+    p = PRESETS[args.preset]
+    ds = build_dataset(p, args.data_root, n_synthetic=args.n, seed=args.seed)
+    idx = np.random.default_rng(args.seed).choice(len(ds), size=min(args.n, len(ds)),
+                                                  replace=False)
+    imgs = np.stack([ds[int(i)]["source"] for i in idx])
+    save_image_grid(imgs, Path(args.out) / "random_images.png")
+    print(f"wrote {args.out}/random_images.png")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("latent-stats", "extract-vae", "export-gif", "export-images"):
+        s = sub.add_parser(name)
+        s.add_argument("--preset", choices=sorted(PRESETS), default="smoke")
+        s.add_argument("--data-root", default=None)
+        s.add_argument("--vae-ckpt", default=None)
+        s.add_argument("--ckpt", default=None)
+        s.add_argument("--ema", action="store_true")
+        s.add_argument("--out", default="results/helpers")
+        s.add_argument("--n", type=int, default=8)
+        s.add_argument("--steps", type=int, default=25)
+        s.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.cmd == "export-gif" and args.out == "results/helpers":
+        args.out = "results/helpers/trajectory.gif"
+    {"latent-stats": latent_stats, "extract-vae": extract_vae,
+     "export-gif": export_gif, "export-images": export_images}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
