@@ -48,7 +48,8 @@ def build():
     sched = GaussianDiffusionSchedule.create(
         timesteps=1000, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
     )
-    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, latent_embedder=vae)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, latent_embedder=vae,
+                             compute_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
     z = jnp.zeros((1, 32, 32, 8), jnp.float32)

@@ -69,6 +69,9 @@ class DiffusionPipeline:
     do_input_centering: bool = True
     clip_x0: bool = True
     loss: str = "l1"
+    # Estimator compute dtype (e.g. jnp.bfloat16 for production sampling).
+    # Inputs are cast on the way into the UNet; all scheduler math stays f32.
+    compute_dtype: Any = None
 
     def __post_init__(self):
         if self.estimator_objective not in ("x_T", "x_0"):
@@ -79,10 +82,17 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------
 
     def _apply_estimator(self, params, x_t, t, condition, self_cond, cond_mask):
-        return self.noise_estimator.apply(
+        if self.compute_dtype is not None:
+            x_t = x_t.astype(self.compute_dtype)
+            self_cond = None if self_cond is None else self_cond.astype(self.compute_dtype)
+        y, y_ver = self.noise_estimator.apply(
             {"params": params["noise_estimator"]},
             x_t, t, condition, self_cond, cond_mask,
         )
+        if self.compute_dtype is not None:
+            y = y.astype(jnp.float32)
+            y_ver = [v.astype(jnp.float32) for v in y_ver]
+        return y, y_ver
 
     def encode_latent(self, params, x, rng):
         """Frozen latent-embedder encode (diffusion_pipeline.py:86-90)."""
@@ -97,10 +107,13 @@ class DiffusionPipeline:
     def decode_latent(self, params, z):
         if self.latent_embedder is None:
             return z
-        return self.latent_embedder.apply(
+        if self.compute_dtype is not None:
+            z = z.astype(self.compute_dtype)
+        out = self.latent_embedder.apply(
             {"params": params["latent_embedder"]}, z,
             method=self.latent_embedder.decode,
         )
+        return out.astype(jnp.float32) if self.compute_dtype is not None else out
 
     # ------------------------------------------------------------------
     # training
@@ -277,6 +290,7 @@ class DiffusionPipeline:
         un_cond=None,
         eta: float = 1.0,
         decode: bool = True,
+        cold_diffusion: bool = False,
     ):
         """Full reverse process as ONE ``lax.scan`` (replaces the reference's
         host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
@@ -308,6 +322,7 @@ class DiffusionPipeline:
             x_prior, x_0, x_T, new_sc = self.estimate(
                 params, x, t_b, condition, sc,
                 guidance_scale=guidance_scale, un_cond=un_cond, noise=anc_noise,
+                cold_diffusion=cold_diffusion,
             )
             if use_ddim:
                 ddim_noise = jax.random.normal(k_ddim, x.shape, x.dtype)

@@ -1,0 +1,71 @@
+"""Pipeline extras: interpolate, cold diffusion, learned variance, 3D, bf16."""
+
+import numpy as np
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+from medfusion_tpu.models.unet import UNet
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _small_pipe(estimate_variance=False, T=10, compute_dtype=None):
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3), strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, estimate_variance=estimate_variance)
+    sched = GaussianDiffusionSchedule.create(timesteps=T, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             estimate_variance=estimate_variance,
+                             do_input_centering=False, compute_dtype=compute_dtype)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 8, 8, 1)).astype(np.float32))
+    params = {"noise_estimator": unet.init(KEY, x, jnp.zeros((2,), jnp.int32))["params"]}
+    return pipe, params, x
+
+
+def test_interpolate_shapes_and_finite():
+    pipe, params, x = _small_pipe()
+    img2 = -x
+    out = pipe.interpolate(params, jax.random.PRNGKey(1), x, img2, i=5,
+                           lam=0.3, use_ddim=False, decode=False)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cold_diffusion_denoise_runs():
+    pipe, params, x = _small_pipe()
+    out = pipe.denoise(params, x, jax.random.PRNGKey(2), steps=5, use_ddim=False,
+                       decode=False, cold_diffusion=True)
+    assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_learned_variance_training_and_sampling():
+    pipe, params, x = _small_pipe(estimate_variance=True)
+    loss, metrics = pipe.train_loss(params, {"source": x}, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    assert "variance_loss" in metrics and "variance_scale" in metrics
+    out = pipe.denoise(params, x, jax.random.PRNGKey(4), steps=4, use_ddim=True,
+                       decode=False)
+    assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bf16_compute_dtype_sampling():
+    pipe, params, x = _small_pipe(compute_dtype=jnp.bfloat16)
+    params = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    out = pipe.denoise(params, x, jax.random.PRNGKey(5), steps=4, use_ddim=True,
+                       decode=False)
+    assert out.dtype == jnp.float32  # scheduler math stays f32
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unet_3d_forward():
+    m = UNet(in_ch=1, out_ch=1, spatial_dims=3, hid_chs=(8, 16), kernel_sizes=(3, 3),
+             strides=(1, 2), norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+             deep_supervision=0, use_attention="none")
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    variables = m.init(KEY, x, t)
+    y, _ = m.apply(variables, x, t)
+    assert y.shape == x.shape
