@@ -27,7 +27,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 16
+BATCH = 32
 STEPS = 150
 RUNS = 3
 A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
