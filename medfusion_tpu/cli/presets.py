@@ -63,11 +63,12 @@ PRESETS = {
 }
 
 
-def build_vae(p: Preset):
-    from medfusion_tpu.models.latent_embedders import VAE
+def build_vae(p: Preset, kind: str = "vae"):
+    """Latent embedder by kind: 'vae' (KL) or 'vqvae' (codebook)."""
+    from medfusion_tpu.models.latent_embedders import VAE, VQVAE
 
     n_groups = 8 if min(p.vae_hid_chs) >= 8 else min(p.vae_hid_chs)
-    return VAE(
+    common = dict(
         in_channels=p.in_channels, out_channels=p.in_channels,
         emb_channels=p.emb_channels, hid_chs=p.vae_hid_chs,
         kernel_sizes=(3,) * len(p.vae_hid_chs),
@@ -75,6 +76,9 @@ def build_vae(p: Preset):
         deep_supervision=p.ae_deep_supervision,
         norm_name=("GROUP", {"num_groups": n_groups, "affine": True}),
     )
+    if kind == "vqvae":
+        return VQVAE(num_embeddings=8192, beta=0.25, **common)
+    return VAE(**common)
 
 
 def build_unet(p: Preset):

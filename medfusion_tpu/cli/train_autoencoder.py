@@ -42,7 +42,8 @@ def main(argv=None):
     ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--out", default="runs/ae")
-    ap.add_argument("--gan", action="store_true", help="VAEGAN two-player training")
+    ap.add_argument("--gan", action="store_true", help="adversarial (VAEGAN/VQGAN) training")
+    ap.add_argument("--model", choices=["vae", "vqvae"], default="vae")
     ap.add_argument("--max-steps", type=int, default=100000)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
@@ -57,7 +58,7 @@ def main(argv=None):
     out = Path(args.out)
     writer = MetricsWriter(out / "logs")
 
-    vae = build_vae(p)
+    vae = build_vae(p, kind=args.model)
     ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
     dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed,
                           weights=ds.get_weights())
@@ -66,9 +67,12 @@ def main(argv=None):
     x0 = np.zeros((batch_size, p.image_size, p.image_size, p.in_channels), np.float32)
     vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
 
+    # VQVAE: commitment loss weight 1.0, pyramid-mean rec reduction
+    # (latent_embedders.py:210-211 vs :637-638)
     ae_trainer = AutoencoderTrainer(
-        autoencoder=vae, flavor="vae", pixel_loss=p.ae_loss, perceiver=None,
-        embedding_loss_weight=p.ae_embedding_loss_weight,
+        autoencoder=vae, flavor=args.model, pixel_loss=p.ae_loss, perceiver=None,
+        embedding_loss_weight=(1.0 if args.model == "vqvae"
+                               else p.ae_embedding_loss_weight),
     )
     if args.gan:
         disc = Discriminator(spatial_dims=2)

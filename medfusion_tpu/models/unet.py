@@ -61,6 +61,11 @@ class UNet(nn.Module):
     learnable_interpolation: bool = True
     use_attention: object = "none"  # str or list[str] per level
     num_res_blocks: int = 2
+    # Rematerialize each conv/attention stage under grad (jax.checkpoint):
+    # trades ~1 extra forward for O(depth) activation memory — the TPU-native
+    # equivalent of the reference's vendored CheckpointFunction
+    # (external/stable_diffusion/unet_openai.py grad checkpointing).
+    remat: bool = False
 
     @property
     def depth(self) -> int:
@@ -78,6 +83,8 @@ class UNet(nn.Module):
         self._time_emb_dim = t_dim if self.use_time_embedder else None
         norm, act = self.norm_name, self.act_name
         ConvBlock = UnetResBlock if self.use_res_block else UnetBasicBlock
+        if self.remat:
+            ConvBlock = nn.remat(ConvBlock, static_argnums=(2,))
         dropout = self.dropout if self.dropout else None
 
         if self.use_time_embedder:
