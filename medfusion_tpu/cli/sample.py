@@ -38,7 +38,16 @@ def load_pipeline(args, p):
     z0 = np.zeros((1, h, w, c), np.float32)
     t0 = np.zeros((1,), np.int32)
     unet_params = unet.init(key, z0, t0, t0 if p.num_classes else None)["params"]
-    if args.ckpt:
+    if args.ckpt and str(args.ckpt).endswith(".ckpt"):
+        # reference Lightning DiffusionPipeline checkpoint (torch)
+        from medfusion_tpu.utils.torch_compat import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.ckpt)
+        unet_params = convert_state_dict(sd, strip_prefix="noise_estimator.")
+        le = convert_state_dict(sd, strip_prefix="latent_embedder.")
+        if le:
+            vae_params = le
+    elif args.ckpt:
         template = TrainState.create(unet_params, optax.adamw(1e-4), use_ema=args.ema)
         state = C.restore_checkpoint(args.ckpt, template)
         unet_params = state.inference_params

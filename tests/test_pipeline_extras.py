@@ -109,3 +109,18 @@ def test_lpips_and_ssim_3d_paths():
     assert val.shape == (2, 1, 1, 1, 1)  # per-image, depth-averaged
     s = ssim(x, y, size_average=False)  # 3D separable window
     assert s.shape == (2,) and np.all(np.isfinite(np.asarray(s)))
+
+
+def test_self_conditioning_threads_through_scan():
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3), strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, use_self_conditioning=True)
+    sched = GaussianDiffusionSchedule.create(timesteps=8, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             use_self_conditioning=True, do_input_centering=False)
+    x = jnp.asarray(np.random.default_rng(13).standard_normal((2, 8, 8, 1)).astype(np.float32))
+    params = {"noise_estimator": unet.init(KEY, x, jnp.zeros((2,), jnp.int32))["params"]}
+    loss, _ = pipe.train_loss(params, {"source": x}, jax.random.PRNGKey(14))
+    assert np.isfinite(float(loss))
+    out = pipe.denoise(params, x, jax.random.PRNGKey(15), steps=4, use_ddim=True, decode=False)
+    assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
