@@ -38,6 +38,8 @@ def main(argv=None):
     ap.add_argument("--steps-list", type=int, nargs="+", default=[50, 100, 150, 200, 250])
     ap.add_argument("--guidance", type=float, default=1.0)
     ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--encoder-key-every", type=int, default=1,
+                    help=">1 enables the encoder-propagation fast sampler (approximate)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -50,7 +52,8 @@ def main(argv=None):
     for steps in args.steps_list:
         steps = min(steps, p.timesteps)
         sampler = make_sharded_sampler(pipe, mesh, p.latent_shape, steps=steps,
-                                       use_ddim=True, guidance_scale=args.guidance)
+                                       use_ddim=True, guidance_scale=args.guidance,
+                                       encoder_key_every=args.encoder_key_every)
         for label in labels:
             out_dir = Path(args.out) / f"steps_{steps}" / f"label_{label}"
             out_dir.mkdir(parents=True, exist_ok=True)

@@ -179,27 +179,23 @@ class UNet(nn.Module):
             for _ in range(2, ds + 2)
         ]
 
-    def __call__(
-        self,
-        x_t,
-        t=None,
-        condition=None,
-        self_cond=None,
-        cond_mask=None,
-        train: bool = False,
-    ) -> Tuple[jnp.ndarray, list]:
+    def embed(self, t=None, condition=None, cond_mask=None):
+        """Summed time+label embedding (unet2.py:233-241)."""
         time_emb = self.time_embedder(t) if (t is not None and self.use_time_embedder) else None
         cond_emb = None
         if condition is not None and self.cond_emb_num_classes is not None:
             cond_emb = self.cond_embedder(condition)
             if cond_mask is not None:
                 cond_emb = cond_emb * cond_mask.astype(cond_emb.dtype)[:, None]
-        emb = save_add(time_emb, cond_emb)
+        return save_add(time_emb, cond_emb)
 
+    def encode_features(self, x_t, emb, self_cond=None, train: bool = False):
+        """Encoder half: in_conv + down path. Returns the skip stack as a
+        tuple (static structure — scan-carry compatible for the
+        encoder-propagation fast sampler)."""
         if self.use_self_conditioning:
             sc = jnp.zeros_like(x_t) if self_cond is None else self_cond
             x_t = jnp.concatenate([x_t, sc], axis=-1)
-
         x = [self.in_conv(x_t, train=train)]
         for kind, block, attn_block in self.in_blocks:
             h = x[-1]
@@ -209,7 +205,11 @@ class UNet(nn.Module):
                 h = block(h, emb, train=train)
                 h = attn_block(h, emb, train=train)
             x.append(h)
+        return tuple(x)
 
+    def decode_features(self, skips, emb, train: bool = False) -> Tuple[jnp.ndarray, list]:
+        """Middle + decoder half consuming the skip stack."""
+        x = list(skips)
         h = self.middle_conv_1(x[-1], emb, train=train)
         h = self.middle_attn(h, emb, train=train)
         h = self.middle_conv_2(h, emb, train=train)
@@ -229,3 +229,16 @@ class UNet(nn.Module):
 
         y = self.outc(h, train=train)
         return y, y_ver[::-1]
+
+    def __call__(
+        self,
+        x_t,
+        t=None,
+        condition=None,
+        self_cond=None,
+        cond_mask=None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, list]:
+        emb = self.embed(t, condition, cond_mask)
+        skips = self.encode_features(x_t, emb, self_cond, train=train)
+        return self.decode_features(skips, emb, train=train)

@@ -27,6 +27,7 @@ def make_sharded_sampler(
     guidance_scale: float = 1.0,
     eta: float = 1.0,
     decode: bool = True,
+    encoder_key_every: int = 1,
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
@@ -39,6 +40,12 @@ def make_sharded_sampler(
         k_init, k_loop = jax.random.split(rng)
         x_T = jax.random.normal(k_init, (num_samples, *img_size))
         x_T = jax.lax.with_sharding_constraint(x_T, batch_sharding(mesh, x_T.ndim))
+        if encoder_key_every > 1:
+            return pipeline.denoise_fast(
+                params, x_T, k_loop, condition=condition, steps=steps,
+                guidance_scale=guidance_scale, un_cond=un_cond, eta=eta,
+                decode=decode, encoder_key_every=encoder_key_every,
+            )
         return pipeline.denoise(
             params, x_T, k_loop, condition=condition,
             steps=steps, use_ddim=use_ddim, guidance_scale=guidance_scale,

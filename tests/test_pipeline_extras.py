@@ -124,3 +124,29 @@ def test_self_conditioning_threads_through_scan():
     assert np.isfinite(float(loss))
     out = pipe.denoise(params, x, jax.random.PRNGKey(15), steps=4, use_ddim=True, decode=False)
     assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fast_sampler_key_every_1_is_exact():
+    """Encoder-propagation sampler (arXiv:2312.09608) with key_every=1 must
+    bit-match the exact DDIM path; key_every=3 stays finite and close."""
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3), strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, cond_emb_num_classes=2, time_emb_dim=16)
+    sched = GaussianDiffusionSchedule.create(timesteps=20, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, do_input_centering=False)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 1)).astype(np.float32))
+    cond = jnp.asarray([0, 1], jnp.int32)
+    p0 = unet.init(KEY, x, jnp.zeros((2,), jnp.int32), cond)["params"]
+    leaves, td = jax.tree_util.tree_flatten(p0)
+    rng = np.random.default_rng(7)
+    params = {"noise_estimator": jax.tree_util.tree_unflatten(
+        td, [jnp.asarray(rng.standard_normal(l.shape).astype(np.float32) * 0.1) for l in leaves])}
+    exact = pipe.denoise(params, x, jax.random.PRNGKey(1), condition=cond, steps=10,
+                         use_ddim=True, eta=0.0, guidance_scale=4.0, decode=False)
+    fast1 = pipe.denoise_fast(params, x, jax.random.PRNGKey(2), condition=cond, steps=10,
+                              guidance_scale=4.0, encoder_key_every=1, decode=False)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(fast1))
+    fast3 = pipe.denoise_fast(params, x, jax.random.PRNGKey(2), condition=cond, steps=10,
+                              guidance_scale=4.0, encoder_key_every=3, decode=False)
+    drift = float(jnp.max(jnp.abs(exact - fast3)))
+    assert np.isfinite(drift) and drift < 0.5
