@@ -39,7 +39,7 @@ def test_diffusion_learns_and_samples_class_structure():
     step = make_diffusion_train_step(pipe, donate=False)
 
     losses = []
-    for i in range(400):
+    for i in range(200):
         idx = np.random.default_rng(i).choice(32, 8, replace=False)
         batch = {"source": x[idx], "target": y[idx]}
         state, metrics = step(state, None, batch, jax.random.fold_in(KEY, i))

@@ -304,3 +304,111 @@ class UNet2(nn.Module):
             if len(blk) > 2:
                 h = blk[2](h, emb)
         return self.outc(h), y_ver[::-1]
+
+
+class LinearTransformer(nn.Module):
+    """attention_blocks.py:128-195 — Conv1d q/k/v, double-scaled softmax,
+    zero-init out proj, residual iff shapes match. In unet2 the SequentialEmb
+    passes the time+label embedding, so this runs as cross-attention over one
+    global conditioning token."""
+
+    def __init__(self, cin, cout, heads, ch_head, norm_groups, emb_dim=None):
+        super().__init__()
+        self.heads, self.scale = heads, ch_head**-0.25
+        hid = heads * ch_head
+        self.norm_x = nn.GroupNorm(norm_groups, cin)
+        kv_dim = emb_dim if emb_dim is not None else cin
+        self.to_q = nn.Conv1d(cin, hid, 1)
+        self.to_k = nn.Conv1d(kv_dim, hid, 1)
+        self.to_v = nn.Conv1d(kv_dim, hid, 1)
+        out = nn.Conv1d(hid, cout, 1)
+        nn.init.zeros_(out.weight)
+        nn.init.zeros_(out.bias)
+        self.to_out = nn.Sequential(out, nn.Identity())
+
+    def forward(self, x, embedding=None):
+        b, c, *sp = x.shape
+        n = int(np.prod(sp)) if sp else 1
+        xn = self.norm_x(x).reshape(b, c, n)
+        kv = xn if embedding is None else embedding.reshape(b, -1, 1)
+        q, k, v = self.to_q(xn), self.to_k(kv), self.to_v(kv)
+        d = q.shape[1] // self.heads
+        qh = q.reshape(b * self.heads, d, -1)
+        kh = k.reshape(b * self.heads, d, -1)
+        vh = v.reshape(b * self.heads, d, -1)
+        attn = torch.einsum("bdi,bdj->bij", qh * self.scale, kh * self.scale).softmax(-1)
+        out = torch.einsum("bij,bdj->bdi", attn, vh).reshape(b, -1, n)
+        out = self.to_out(out).reshape(b, -1, *sp)
+        return out + x if out.shape == x.shape else out
+
+
+import numpy as np  # noqa: E402  (used by LinearTransformer)
+
+
+class AttentionWrap(nn.Module):
+    """attention_blocks.py:291-335, attention_type='linear'."""
+
+    def __init__(self, ch, norm_groups, emb_dim):
+        super().__init__()
+        self.attention = LinearTransformer(ch, ch, 8, ch // 8, norm_groups, emb_dim)
+
+    def forward(self, x, embedding=None):
+        return self.attention(x, embedding)
+
+
+class UNet2Attn(UNet2):
+    """UNet2 with linear attention at every level (the SequentialEmb feeds the
+    conditioning embedding into each attention block — unet2.py:249-264)."""
+
+    def __init__(self, cin=2, cout=2, hid=(8, 16, 32), norm_groups=4,
+                 emb_dim=32, num_classes=2, nrb=2, ds=0):
+        super().__init__(cin, cout, hid, norm_groups, emb_dim, num_classes, nrb, ds)
+        depth = len(hid)
+        # rebuild in/out blocks with Attention at slot 1
+        in_blocks = []
+        for i in range(1, depth):
+            for k in range(nrb):
+                in_blocks.append(SequentialEmb(
+                    UnetResBlock(hid[i - 1 if k == 0 else i], hid[i], 3, 1,
+                                 norm_groups, emb_dim),
+                    AttentionWrap(hid[i], norm_groups, emb_dim)))
+            if i < depth - 1:
+                in_blocks.append(BasicDown(hid[i], hid[i], 3, 2))
+        self.in_blocks = nn.ModuleList(in_blocks)
+        self.middle_block = SequentialEmb(
+            UnetResBlock(hid[-1], hid[-1], 3, 1, norm_groups, emb_dim),
+            AttentionWrap(hid[-1], norm_groups, emb_dim),
+            UnetResBlock(hid[-1], hid[-1], 3, 1, norm_groups, emb_dim),
+        )
+        out_blocks = []
+        for i in range(1, depth):
+            for k in range(nrb + 1):
+                co = hid[i - 1 if k == 0 else i]
+                seq = [UnetResBlock(hid[i] + co, co, 3, 1, norm_groups, emb_dim),
+                       AttentionWrap(co, norm_groups, emb_dim)]
+                if i > 1 and k == 0:
+                    seq.append(BasicUp(co, co, 2, 2))
+                out_blocks.append(SequentialEmb(*seq))
+        self.out_blocks = nn.ModuleList(out_blocks)
+
+    def forward(self, x_t, t, condition):
+        emb = self.time_embedder(t) + self.cond_embedder(condition)
+        x = [self.in_conv(x_t)]
+        for blk in self.in_blocks:
+            if isinstance(blk, BasicDown):
+                x.append(blk(x[-1]))
+            else:
+                x.append(blk(x[-1], emb))
+        h = self.middle_block[0](x[-1], emb)
+        h = self.middle_block[1](h, emb)
+        h = self.middle_block[2](h, emb)
+        y_ver = []
+        nrb1 = self.nrb + 1
+        for i in range(len(self.out_blocks), 0, -1):
+            h = torch.cat([h, x.pop()], dim=1)
+            blk = self.out_blocks[i - 1]
+            h = blk[0](h, emb)
+            h = blk[1](h, emb)
+            if len(blk) > 2:
+                h = blk[2](h, emb)
+        return self.outc(h), y_ver
