@@ -32,6 +32,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: repeat runs skip the multi-minute remote
+# TPU compile (cache key = HLO hash; safe across processes).
+jax.config.update("jax_compilation_cache_dir", "/tmp/medfusion_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 BATCH = 32
 STEPS = 150
 RUNS = 3

@@ -50,6 +50,8 @@ def main(argv=None):
     ap.add_argument("--real", required=True)
     ap.add_argument("--fake", required=True)
     ap.add_argument("--batch-size", type=int, default=100)
+    ap.add_argument("--size", type=int, default=None,
+                    help="resize images to SIZE x SIZE before featurizing")
     ap.add_argument("--inception-weights", default=None,
                     help=".npz of converted torch-fidelity weights; random init otherwise")
     ap.add_argument("--out", default="results/metrics")
@@ -69,7 +71,7 @@ def main(argv=None):
     ipr = ImprovedPrecisionRecall(knn=3)
     for real_flag, folder in [(True, args.real), (False, args.fake)]:
         n = 0
-        for batch in iter_uint8_batches(folder, args.batch_size):
+        for batch in iter_uint8_batches(folder, args.batch_size, size=args.size):
             feats = featurize(batch)
             fid.update(feats, real=real_flag)
             ipr.update(feats, real=real_flag)

@@ -64,6 +64,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--guidance", type=float, default=8.0)
     ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--encoder-key-every", type=int, default=1,
+                    help=">1 uses the encoder-propagation fast sampler")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -76,9 +78,16 @@ def main(argv=None):
     for cond_val in ([0, 1, None] if p.num_classes else [None]):
         cond = None if cond_val is None else jnp.full((args.n,), cond_val, jnp.int32)
         rng = jax.random.PRNGKey(args.seed)  # same noise across conditions (sample.py:37)
-        imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
-                           steps=steps, use_ddim=True,
-                           guidance_scale=args.guidance if cond_val is not None else 1.0)
+        gs = args.guidance if cond_val is not None else 1.0
+        if args.encoder_key_every > 1:
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
+            imgs = pipe.denoise_fast(params, x_T, k2, condition=cond, steps=steps,
+                                     guidance_scale=gs,
+                                     encoder_key_every=args.encoder_key_every)
+        else:
+            imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
+                               steps=steps, use_ddim=True, guidance_scale=gs)
         results[cond_val] = np.asarray(imgs)
         save_image_grid(results[cond_val], out / f"sample_cond_{cond_val}.png")
         print(f"condition={cond_val}: wrote {out}/sample_cond_{cond_val}.png")
