@@ -168,7 +168,7 @@ class AdversarialTrainer:
         return loss, metrics
 
 
-def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = True) -> Callable:
+def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = False) -> Callable:
     """Returns ``step_fn(state, perceiver_params, batch, rng) -> (state, metrics)``
     running generator then discriminator update on the same batch."""
 

@@ -105,7 +105,7 @@ class AutoencoderTrainer:
         return loss, metrics
 
 
-def make_autoencoder_train_step(trainer: AutoencoderTrainer, donate: bool = True) -> Callable:
+def make_autoencoder_train_step(trainer: AutoencoderTrainer, donate: bool = False) -> Callable:
     """Returns ``step_fn(state, perceiver_params, batch, rng) -> (state, metrics)``."""
 
     def step_fn(state: TrainState, perceiver_params, batch, rng):

@@ -17,7 +17,7 @@ from medfusion_tpu.train.state import TrainState
 
 def make_diffusion_train_step(
     pipeline: DiffusionPipeline,
-    donate: bool = True,
+    donate: bool = False,
 ) -> Callable:
     """Returns ``step_fn(state, latent_params, batch, rng) -> (state, metrics)``.
 
