@@ -15,3 +15,23 @@ Layout conventions
 __version__ = "0.1.0"
 
 from medfusion_tpu.core.schedules import GaussianDiffusionSchedule  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import medfusion_tpu` light)."""
+    _API = {
+        "DiffusionPipeline": ("medfusion_tpu.pipelines.diffusion", "DiffusionPipeline"),
+        "UNet": ("medfusion_tpu.models.unet", "UNet"),
+        "UNetLegacy": ("medfusion_tpu.models.unet_legacy", "UNetLegacy"),
+        "VAE": ("medfusion_tpu.models.latent_embedders", "VAE"),
+        "VQVAE": ("medfusion_tpu.models.latent_embedders", "VQVAE"),
+        "Discriminator": ("medfusion_tpu.models.latent_embedders", "Discriminator"),
+        "TrainState": ("medfusion_tpu.train.state", "TrainState"),
+        "make_mesh": ("medfusion_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in _API:
+        import importlib
+
+        module, attr = _API[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'medfusion_tpu' has no attribute {name!r}")
