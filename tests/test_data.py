@@ -103,3 +103,21 @@ def test_dataset_3d_roundtrip(tmp_path):
     ds2 = SimpleDataset3D(tmp_path, crawler_ext="npy", use_znorm=False)
     s = ds2[0]["source"]
     np.testing.assert_allclose([s.min(), s.max()], [-1.0, 1.0], atol=1e-5)
+
+
+def test_grain_loader_and_prefetch():
+    from medfusion_tpu.data.grain_loader import make_grain_loader
+    from medfusion_tpu.data.prefetch import prefetch_to_device
+
+    ds = SyntheticDataset2D(n=20, image_size=8, num_classes=2, seed=0)
+    batches = list(make_grain_loader(ds, batch_size=4, num_epochs=1))
+    assert len(batches) == 5
+    assert batches[0]["source"].shape == (4, 8, 8, 3)
+    assert "uid" not in batches[0]
+    # deterministic across loaders with the same seed
+    again = list(make_grain_loader(ds, batch_size=4, num_epochs=1))
+    np.testing.assert_array_equal(batches[0]["source"], again[0]["source"])
+    # prefetch keeps order and materializes on device
+    dev = list(prefetch_to_device(batches, size=2))
+    assert len(dev) == 5
+    np.testing.assert_array_equal(np.asarray(dev[2]["source"]), batches[2]["source"])
