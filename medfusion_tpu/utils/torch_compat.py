@@ -132,23 +132,33 @@ def _to_flax_leaf(path: str, arr: np.ndarray) -> np.ndarray:
     return np.asarray(arr)
 
 
-def _to_torch_leaf(path: str, arr: np.ndarray, torch_key: str) -> np.ndarray:
-    """Inverse transform flax -> torch. 1x1 convs regain trailing unit dims
-    based on the destination module (Conv1d for LinearTransformer, ConvNd for
-    LinearTransformerNd/proj layers) — exported as Conv1d-compatible [O, I, 1]."""
-    if path.endswith("linear/kernel") and not _is_true_linear(torch_key):
-        return np.ascontiguousarray(arr.T)[..., None]  # [I,O] -> [O,I,1]
+def _to_torch_leaf(path: str, arr: np.ndarray, torch_key: str,
+                   spatial_dims: int = 2) -> np.ndarray:
+    """Inverse transform flax -> torch. 1x1-conv projections regain trailing
+    unit dims per the destination module: Conv1d ([O,I,1]) for
+    LinearTransformer q/k/v/out (attention_blocks.py:150-156), ConvNd
+    ([O,I,1,..]) for SpatialTransformer proj_in/proj_out and the transformer
+    MLP's out conv (attention_blocks.py:219, 255-275)."""
     if path.endswith("linear/kernel"):
-        return np.ascontiguousarray(arr.T)
+        n_unit = _conv_trailing_dims(torch_key, spatial_dims)
+        out = np.ascontiguousarray(arr.T)
+        return out.reshape(out.shape + (1,) * n_unit) if n_unit else out
     if path.endswith("conv/kernel"):
         n = arr.ndim - 2
         return np.ascontiguousarray(np.transpose(arr, (n + 1, n, *range(n))))
     return np.asarray(arr)
 
 
-def _is_true_linear(torch_key: str) -> bool:
-    return any(s in torch_key for s in ("time_emb.", "local_embedder.", "proj_out.0.proj",
-                                        "proj_out.2.", "embedding."))
+def _conv_trailing_dims(torch_key: str, spatial_dims: int) -> int:
+    """0 = true nn.Linear; else the number of unit kernel dims to append."""
+    if any(s in torch_key for s in ("time_emb.", "local_embedder.",
+                                    "proj_out.0.proj", "embedding.")):
+        return 0
+    if re.search(r"proj_out\.2\.(weight|bias)$", torch_key):
+        return spatial_dims  # BasicTransformerBlock MLP out: ConvNd 1x1
+    if re.search(r"attention\.proj_(in|out)\.(weight|bias)$", torch_key):
+        return spatial_dims  # SpatialTransformer projections: ConvNd 1x1
+    return 1  # LinearTransformer to_q/to_k/to_v/to_out.0: Conv1d
 
 
 def set_in_tree(tree: Dict, path: str, value) -> None:

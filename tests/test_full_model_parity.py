@@ -97,3 +97,28 @@ def test_unet2_linear_attention_parity_vs_torch_mirror():
     with torch.no_grad():
         t_y, _ = mirror(nchw(x), torch.from_numpy(t), torch.from_numpy(c))
     np.testing.assert_allclose(np.asarray(y), nhwc(t_y), rtol=3e-4, atol=3e-5)
+
+
+def test_unet2_spatial_transformer_parity_vs_torch_mirror():
+    """Spatial-transformer path: norm -> 1x1 proj -> self+cross attention +
+    GEGLU MLP -> 1x1 proj, at every level (attention_blocks.py:233-288)."""
+    unet = UNet(in_ch=2, out_ch=2, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                strides=(1, 2), time_emb_dim=32, cond_emb_num_classes=2,
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, use_attention="spatial")
+    x = np.random.default_rng(6).standard_normal((2, 8, 8, 2)).astype(np.float32)
+    t = np.asarray([1, 4], np.int64)
+    c = np.asarray([0, 1], np.int64)
+    params = _randomize(
+        unet.init(KEY, jnp.asarray(x), jnp.asarray(t, dtype=jnp.int32),
+                  jnp.asarray(c, dtype=jnp.int32))["params"], seed=7)
+    y, _ = unet.apply({"params": params}, jnp.asarray(x),
+                      jnp.asarray(t, dtype=jnp.int32), jnp.asarray(c, dtype=jnp.int32))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in TC.to_torch_state_dict(params, kind="unet").items()}
+    mirror = M.UNet2Spatial(cin=2, cout=2, hid=(8, 16), norm_groups=4,
+                            emb_dim=32, num_classes=2, nrb=2, ds=0)
+    mirror.load_state_dict(sd, strict=True)
+    with torch.no_grad():
+        t_y, _ = mirror(nchw(x), torch.from_numpy(t), torch.from_numpy(c))
+    np.testing.assert_allclose(np.asarray(y), nhwc(t_y), rtol=3e-4, atol=3e-5)

@@ -412,3 +412,135 @@ class UNet2Attn(UNet2):
             if len(blk) > 2:
                 h = blk[2](h, emb)
         return self.outc(h), y_ver
+
+
+class GEGLU(nn.Module):
+    """attention_blocks.py:11-25."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm = nn.LayerNorm(cin)
+        self.proj = nn.Linear(cin, cout * 2)
+
+    def forward(self, x):
+        # [B, C, *spatial] -> LayerNorm over C via the channel-last workaround
+        b, c, *spatial = x.shape
+        xn = self.norm(x.reshape(b, c, -1).transpose(1, 2))
+        h, gate = self.proj(xn).chunk(2, dim=-1)
+        return (h * F.gelu(gate)).transpose(1, 2).reshape(b, -1, *spatial)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attention_blocks.py:200-231 (self-attn + cross-attn + GEGLU MLP)."""
+
+    def __init__(self, ch, heads, ch_head, norm_groups, emb_dim):
+        super().__init__()
+        self.self_atn = LinearTransformer(ch, ch, heads, ch_head, norm_groups, None)
+        if emb_dim is not None:
+            self.cros_atn = LinearTransformer(ch, ch, heads, ch_head, norm_groups, emb_dim)
+        # reference: GEGLU + Dropout/Identity + ConvNd 1x1 (attention_blocks.py:216-219)
+        self.proj_out = nn.Sequential(
+            GEGLU(ch, ch * 4), nn.Identity(), nn.Conv2d(ch * 4, ch, 1)
+        )
+
+    def forward(self, x, embedding=None):
+        x = self.self_atn(x)
+        if embedding is not None and hasattr(self, "cros_atn"):
+            x = self.cros_atn(x, embedding)
+        out = self.proj_out(x)
+        return out + x if out.shape[1] == x.shape[1] else x
+
+
+class SpatialTransformer(nn.Module):
+    """attention_blocks.py:233-288 (norm -> 1x1 in -> blocks -> 1x1 out + res)."""
+
+    def __init__(self, ch, heads, ch_head, norm_groups, emb_dim, depth=1):
+        super().__init__()
+        hid = heads * ch_head
+        self.norm = nn.GroupNorm(norm_groups, ch)
+        self.proj_in = nn.Conv2d(ch, hid, 1)
+        self.transformer_blocks = nn.ModuleList([
+            BasicTransformerBlock(hid, heads, ch_head, norm_groups, emb_dim)
+            for _ in range(depth)
+        ])
+        self.proj_out = nn.Conv2d(hid, ch, 1)
+
+    def forward(self, x, embedding=None):
+        h = self.proj_in(self.norm(x))
+        for blk in self.transformer_blocks:
+            h = blk(h, embedding)
+        h = self.proj_out(h)
+        return h + x if h.shape == x.shape else h
+
+
+class SpatialAttentionWrap(nn.Module):
+    """Attention dispatcher with attention_type='spatial'."""
+
+    def __init__(self, ch, norm_groups, emb_dim):
+        super().__init__()
+        self.attention = SpatialTransformer(ch, 8, ch // 8, norm_groups, emb_dim)
+
+    def forward(self, x, embedding=None):
+        return self.attention(x, embedding)
+
+
+class UNet2Spatial(UNet2):
+    """UNet2 with spatial-transformer attention at every level."""
+
+    def __init__(self, cin=2, cout=2, hid=(8, 16, 32), norm_groups=4,
+                 emb_dim=32, num_classes=2, nrb=2, ds=0):
+        super().__init__(cin, cout, hid, norm_groups, emb_dim, num_classes, nrb, ds)
+        depth = len(hid)
+        in_blocks = []
+        for i in range(1, depth):
+            for k in range(nrb):
+                in_blocks.append(SequentialEmb(
+                    UnetResBlock(hid[i - 1 if k == 0 else i], hid[i], 3, 1,
+                                 norm_groups, emb_dim),
+                    SpatialAttentionWrap(hid[i], norm_groups, emb_dim)))
+            if i < depth - 1:
+                in_blocks.append(BasicDown(hid[i], hid[i], 3, 2))
+        self.in_blocks = nn.ModuleList(in_blocks)
+        self.middle_block = SequentialEmb(
+            UnetResBlock(hid[-1], hid[-1], 3, 1, norm_groups, emb_dim),
+            SpatialAttentionWrap(hid[-1], norm_groups, emb_dim),
+            UnetResBlock(hid[-1], hid[-1], 3, 1, norm_groups, emb_dim),
+        )
+        out_blocks = []
+        for i in range(1, depth):
+            for k in range(nrb + 1):
+                co = hid[i - 1 if k == 0 else i]
+                seq = [UnetResBlock(hid[i] + co, co, 3, 1, norm_groups, emb_dim),
+                       SpatialAttentionWrap(co, norm_groups, emb_dim)]
+                if i > 1 and k == 0:
+                    seq.append(BasicUp(co, co, 2, 2))
+                out_blocks.append(SequentialEmb(*seq))
+        self.out_blocks = nn.ModuleList(out_blocks)
+
+    forward = None  # use the shared _forward below
+
+
+def _unet2_forward_with_attention(self, x_t, t, condition):
+    emb = self.time_embedder(t) + self.cond_embedder(condition)
+    x = [self.in_conv(x_t)]
+    for blk in self.in_blocks:
+        if isinstance(blk, BasicDown):
+            x.append(blk(x[-1]))
+        else:
+            x.append(blk(x[-1], emb))
+    h = self.middle_block[0](x[-1], emb)
+    h = self.middle_block[1](h, emb)
+    h = self.middle_block[2](h, emb)
+    nrb1 = self.nrb + 1
+    for i in range(len(self.out_blocks), 0, -1):
+        h = torch.cat([h, x.pop()], dim=1)
+        blk = self.out_blocks[i - 1]
+        h = blk[0](h, emb)
+        h = blk[1](h, emb)
+        if len(blk) > 2:
+            h = blk[2](h, emb)
+    return self.outc(h), []
+
+
+UNet2Spatial.forward = _unet2_forward_with_attention
+UNet2Attn.forward = _unet2_forward_with_attention
