@@ -65,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--sample-every", type=int, default=0, help="0 = off")
     ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing on the UNet stages")
+    ap.add_argument("--grain", action="store_true",
+                    help="use the grain production loader instead of SimpleDataModule")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
@@ -77,6 +81,8 @@ def main(argv=None):
 
     vae = build_vae(p)
     unet = build_unet(p)
+    if args.remat:
+        unet = unet.replace(remat=True) if hasattr(unet, "replace") else unet
     sched = build_scheduler(p)
     pipe = DiffusionPipeline(
         scheduler=sched, noise_estimator=unet, latent_embedder=vae,
@@ -96,7 +102,18 @@ def main(argv=None):
     step_fn = make_diffusion_train_step(pipe, donate=False)
 
     ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
-    dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed, weights=ds.get_weights())
+    if args.grain:
+        from medfusion_tpu.data.grain_loader import make_grain_loader
+
+        class _GrainDM:
+            def train_dataloader(self, epoch=0):
+                return make_grain_loader(ds, batch_size, seed=args.seed + epoch,
+                                         num_epochs=1)
+
+        dm = _GrainDM()
+    else:
+        dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed,
+                              weights=ds.get_weights())
 
     ckpt_dir = out / "checkpoints"
     if args.resume and C.latest_step(ckpt_dir) is not None:
