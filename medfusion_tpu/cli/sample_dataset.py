@@ -66,8 +66,12 @@ def main(argv=None):
                 if label is not None:
                     cond = jnp.full((n,), label, jnp.int32)
                     un_cond = jnp.full((n,), 1 - label, jnp.int32)  # reference :35
-                rng = jax.random.fold_in(jax.random.PRNGKey(args.seed),
-                                         (steps, label or 0, chunk_idx).__hash__() & 0x7FFFFFFF)
+                # Chained fold_in per (steps, label, chunk); label=None gets its
+                # own stream distinct from label=0 via the num_classes sentinel.
+                label_id = label if label is not None else (p.num_classes or 0)
+                rng = jax.random.PRNGKey(args.seed)
+                for field in (steps, label_id, chunk_idx):
+                    rng = jax.random.fold_in(rng, field)
                 imgs = np.asarray(sampler(params, rng, n, cond, un_cond))
                 imgs = ((imgs.clip(-1, 1) + 1) * 127.5).astype(np.uint8)
                 for i in range(imgs.shape[0]):

@@ -6,9 +6,13 @@ kNN (k=3) radii per manifold from pairwise L2 distances, precision = fraction
 of fake features inside ANY real-feature ball, recall symmetric.
 
 TPU-native: the pairwise distance matrix is one [N, M] matmul-shaped program
-(||x||^2 + ||y||^2 - 2 x.y — the reference's chunked einsum, :151-168), with
-optional row-chunking for the 10k x 10k eval (BASELINE config 5); everything
-runs under jit, and the feature matrices can be batch-sharded over a mesh.
+(||x||^2 + ||y||^2 - 2 x.y — the reference's chunked einsum, :151-168). For
+the 10k x 10k eval (BASELINE config 5) ``row_chunk`` bounds peak memory: rows
+are processed in fixed-size blocks under ``lax.map``/``lax.scan`` (the
+reference's ``splits_real/fake`` chunking, :151-168) so only a
+[row_chunk, M] tile is ever live instead of the full [N, M] matrix.
+Everything runs under jit, and the feature matrices can be batch-sharded
+over a mesh.
 """
 
 from __future__ import annotations
@@ -32,39 +36,94 @@ def pairwise_distances(x: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> jnp.n
     return jnp.sqrt(jnp.clip(d2, 0.0))
 
 
-def knn_radii(features: jnp.ndarray, knn: int = 3) -> jnp.ndarray:
+def _row_blocks(x: jnp.ndarray, row_chunk: int) -> jnp.ndarray:
+    """Pad dim 0 to a multiple of ``row_chunk`` and reshape to
+    [n_blocks, row_chunk, ...] (static shapes for lax.map/scan)."""
+    pad = (-x.shape[0]) % row_chunk
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x.reshape((-1, row_chunk) + x.shape[1:])
+
+
+def knn_radii(
+    features: jnp.ndarray, knn: int = 3, row_chunk: Optional[int] = None
+) -> jnp.ndarray:
     """Distance to the k-th nearest OTHER point (self included as in the
     reference: top-(k+1) smallest including the 0 self-distance, :148-149)."""
-    dist = pairwise_distances(features)
-    neg_topk = jax.lax.top_k(-dist, knn + 1)[0]  # k+1 smallest distances
-    return -neg_topk[:, -1]
+    n = features.shape[0]
+    if row_chunk is None or row_chunk >= n:
+        dist = pairwise_distances(features)
+        neg_topk = jax.lax.top_k(-dist, knn + 1)[0]  # k+1 smallest distances
+        return -neg_topk[:, -1]
+
+    def body(block):  # [row_chunk, D] -> [row_chunk]
+        dist = pairwise_distances(block, features)
+        return -jax.lax.top_k(-dist, knn + 1)[0][:, -1]
+
+    radii = jax.lax.map(body, _row_blocks(features, row_chunk))
+    return radii.reshape(-1)[:n]
 
 
-def manifold_membership(ref: jnp.ndarray, ref_radii: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+def manifold_membership(
+    ref: jnp.ndarray,
+    ref_radii: jnp.ndarray,
+    pred: jnp.ndarray,
+    row_chunk: Optional[int] = None,
+) -> jnp.ndarray:
     """Fraction of ``pred`` points inside any ref ball (reference
-    ``_compute_metric``, :140-146)."""
-    dist = pairwise_distances(ref, pred)  # [N_ref, N_pred]
-    inside = jnp.any(dist < ref_radii[:, None], axis=0)
+    ``_compute_metric``, :140-146). Chunked over ref rows: the membership OR
+    accumulates across blocks, so peak memory is [row_chunk, N_pred]."""
+    if row_chunk is None or row_chunk >= ref.shape[0]:
+        dist = pairwise_distances(ref, pred)  # [N_ref, N_pred]
+        inside = jnp.any(dist < ref_radii[:, None], axis=0)
+        return jnp.mean(inside.astype(jnp.float32))
+
+    ref_b = _row_blocks(ref, row_chunk)
+    # Padded rows get radius -1: dist >= 0 is never < -1, so they never match.
+    radii_b = _row_blocks(
+        jnp.concatenate(
+            [ref_radii, jnp.full(((-ref.shape[0]) % row_chunk,), -1.0, ref_radii.dtype)]
+        )
+        if ref.shape[0] % row_chunk
+        else ref_radii,
+        row_chunk,
+    )
+
+    def body(inside, blk):
+        r, rad = blk
+        dist = pairwise_distances(r, pred)
+        return inside | jnp.any(dist < rad[:, None], axis=0), None
+
+    inside0 = jnp.zeros((pred.shape[0],), bool)
+    inside, _ = jax.lax.scan(body, inside0, (ref_b, radii_b))
     return jnp.mean(inside.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("knn",))
+@partial(jax.jit, static_argnames=("knn", "row_chunk"))
 def precision_recall(
-    real_features: jnp.ndarray, fake_features: jnp.ndarray, knn: int = 3
+    real_features: jnp.ndarray,
+    fake_features: jnp.ndarray,
+    knn: int = 3,
+    row_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    real_radii = knn_radii(real_features, knn)
-    fake_radii = knn_radii(fake_features, knn)
-    precision = manifold_membership(real_features, real_radii, fake_features)
-    recall = manifold_membership(fake_features, fake_radii, real_features)
+    real_radii = knn_radii(real_features, knn, row_chunk)
+    fake_radii = knn_radii(fake_features, knn, row_chunk)
+    precision = manifold_membership(real_features, real_radii, fake_features, row_chunk)
+    recall = manifold_membership(fake_features, fake_radii, real_features, row_chunk)
     return precision, recall
 
 
 class ImprovedPrecisionRecall:
     """Stateful accumulator mirroring the reference torchmetrics Metric
-    (update(features, real) / compute())."""
+    (update(features, real) / compute()).
 
-    def __init__(self, knn: int = 3):
+    ``row_chunk`` (default 1024) bounds device memory at the 10k-sample eval
+    scale; it auto-disables when the manifolds are smaller than one chunk.
+    """
+
+    def __init__(self, knn: int = 3, row_chunk: Optional[int] = 1024):
         self.knn = knn
+        self.row_chunk = row_chunk
         self._real: List[np.ndarray] = []
         self._fake: List[np.ndarray] = []
 
@@ -74,7 +133,10 @@ class ImprovedPrecisionRecall:
     def compute(self) -> Tuple[float, float]:
         real = jnp.asarray(np.concatenate(self._real))
         fake = jnp.asarray(np.concatenate(self._fake))
-        p, r = precision_recall(real, fake, self.knn)
+        chunk = self.row_chunk
+        if chunk is not None and chunk >= max(real.shape[0], fake.shape[0]):
+            chunk = None
+        p, r = precision_recall(real, fake, self.knn, chunk)
         return float(p), float(r)
 
     def reset(self) -> None:

@@ -36,7 +36,9 @@ def flash_attention(q, k, v, scale):
     return _fa(q, k, v, scale)
 
 
-def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5):
+def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5, apply_silu=True,
+                          interpret=False):
     from medfusion_tpu.ops.group_norm import fused_group_norm_silu as _gn
 
-    return _gn(x, scale, bias, num_groups, eps)
+    return _gn(x, scale, bias, num_groups, eps, apply_silu=apply_silu,
+               interpret=interpret)

@@ -25,7 +25,15 @@ def initialize_multihost(
 
     Returns a summary dict {process_index, process_count, local/global devices}.
     """
-    if jax.process_count() == 1 and (num_processes or 1) > 1 or coordinator_address:
+    wants_init = coordinator_address is not None or (num_processes or 1) > 1
+    already_init = jax.process_count() > 1
+    try:  # single-process initialize() also counts as already-initialized
+        from jax._src import distributed as _dist
+
+        already_init = already_init or _dist.global_state.client is not None
+    except Exception:
+        pass
+    if wants_init and not already_init:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -51,6 +51,35 @@ def test_precision_recall_extremes():
     assert float(p) == 0.0 and float(r) == 0.0
 
 
+def test_precision_recall_chunked_matches_unchunked():
+    """Row-chunked path (reference splits_* chunking, torchmetrics_pr_recall.py
+    :151-168) is exactly the unchunked result, incl. a chunk that does not
+    divide N."""
+    rng = np.random.default_rng(7)
+    real = rng.standard_normal((53, 8)).astype(np.float32)
+    fake = (rng.standard_normal((41, 8)) * 1.2 + 0.2).astype(np.float32)
+    p0, r0 = precision_recall(jnp.asarray(real), jnp.asarray(fake))
+    for chunk in (7, 16, 53):
+        p, r = precision_recall(jnp.asarray(real), jnp.asarray(fake), row_chunk=chunk)
+        np.testing.assert_allclose(float(p), float(p0), atol=1e-6)
+        np.testing.assert_allclose(float(r), float(r0), atol=1e-6)
+
+
+def test_precision_recall_10k_scale_chunked():
+    """BASELINE config-5 scale (10k x 10k manifolds) runs without
+    materializing the full distance matrix (tiny feature dim keeps CPU time
+    bounded; memory is what the chunking bounds)."""
+    rng = np.random.default_rng(8)
+    real = rng.standard_normal((10_000, 4)).astype(np.float32)
+    fake = (rng.standard_normal((10_000, 4)) + 0.1).astype(np.float32)
+    ipr = ImprovedPrecisionRecall(row_chunk=1024)
+    ipr.update(real, real=True)
+    ipr.update(fake, real=False)
+    p, r = ipr.compute()
+    # Same-ish distributions: both metrics should be high but not degenerate.
+    assert 0.5 < p <= 1.0 and 0.5 < r <= 1.0
+
+
 def test_accumulator_api():
     rng = np.random.default_rng(2)
     ipr = ImprovedPrecisionRecall()
