@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--sample-every", type=int, default=1000)
     ap.add_argument("--start-gan-step", type=int, default=50000)
+    ap.add_argument("--disc", choices=["conv", "patch"], default="conv",
+                    help="discriminator flavor: conv-stack (reference Discriminator) "
+                         "or PatchGAN (reference NLayerDiscriminator, BatchNorm)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
@@ -75,7 +78,12 @@ def main(argv=None):
                                else p.ae_embedding_loss_weight),
     )
     if args.gan:
-        disc = Discriminator(spatial_dims=2)
+        if args.disc == "patch":
+            from medfusion_tpu.models.latent_embedders import NLayerDiscriminator
+
+            disc = NLayerDiscriminator(spatial_dims=2)
+        else:
+            disc = Discriminator(spatial_dims=2)
         trainer = AdversarialTrainer(
             ae_trainer=ae_trainer, discriminator=disc,
             n_discriminators=p.ae_deep_supervision + 1,

@@ -39,19 +39,36 @@ from medfusion_tpu.train.state import TrainState
 
 @struct.dataclass
 class GANTrainState:
-    """Two-player state; ``step`` counts optimizer steps (2 per batch)."""
+    """Two-player state; ``step`` counts optimizer steps (2 per batch).
+
+    ``disc_stats`` carries non-trained discriminator variables (BatchNorm
+    running statistics of :class:`NLayerDiscriminator`; empty for the
+    GroupNorm :class:`Discriminator`)."""
 
     step: jnp.ndarray
     gen: TrainState
     disc: TrainState
+    disc_stats: Any = struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, gen_params, disc_params, tx_gen: optax.GradientTransformation,
+    def create(cls, gen_params, disc_variables, tx_gen: optax.GradientTransformation,
                tx_disc: optax.GradientTransformation) -> "GANTrainState":
+        """``disc_variables``: per-level flax variable dicts from
+        :func:`init_discriminators` ({"disc_i": {"params": ..,
+        ["batch_stats": ..]}}); bare param trees are accepted too."""
+        disc_params, disc_stats = {}, {}
+        for k, v in disc_variables.items():
+            if isinstance(v, dict) and "params" in v:
+                disc_params[k] = v["params"]
+                if "batch_stats" in v:
+                    disc_stats[k] = v["batch_stats"]
+            else:
+                disc_params[k] = v
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen=TrainState.create(gen_params, tx_gen),
             disc=TrainState.create(disc_params, tx_disc),
+            disc_stats=disc_stats,
         )
 
 
@@ -83,11 +100,27 @@ class AdversarialTrainer:
         leaf = ae_params[name]["conv"]["conv"]
         return leaf["kernel"], leaf.get("bias", 0.0)
 
-    def _disc_apply(self, disc_params, depth: int, x):
-        return self.discriminator.apply({"params": disc_params[f"disc_{depth}"]}, x)
+    def _disc_apply(self, disc_params, disc_stats, depth: int, x, train: bool = True):
+        """Apply the depth-th discriminator. ``train=True`` matches the
+        reference (Lightning keeps the module in train mode, so BatchNorm
+        normalizes by batch statistics). Returns ``(logits, new_stats)`` where
+        ``new_stats`` is the level's updated batch_stats dict (None when the
+        discriminator has no BatchNorm)."""
+        name = f"disc_{depth}"
+        variables = {"params": disc_params[name]}
+        stats = (disc_stats or {}).get(name)
+        if stats:
+            variables["batch_stats"] = stats
+        if not train:
+            return self.discriminator.apply(variables, x, train=False), stats
+        logits, updates = self.discriminator.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        return logits, updates.get("batch_stats", stats)
 
     def vae_img_loss(
-        self, ae_params, disc_params, perceiver_params, pred, h, target, step, depth: int
+        self, ae_params, disc_params, disc_stats, perceiver_params, pred, h, target,
+        step, depth: int
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Reference ``vae_img_loss`` (latent_embedders.py:943-961)."""
         at = self.ae_trainer
@@ -104,7 +137,8 @@ class AdversarialTrainer:
         def f(w):
             p = _conv_head(h_const, w, bias)
             rec_w = at.rec_loss(perceiver_params, p, [], target)
-            gan_w = -jnp.sum(self._disc_apply(disc_params, depth, p))
+            logits, _ = self._disc_apply(disc_params, disc_stats, depth, p)
+            gan_w = -jnp.sum(logits)
             return rec_w, gan_w
 
         (_, gan_loss), vjp = jax.vjp(f, kernel)
@@ -119,7 +153,8 @@ class AdversarialTrainer:
         metrics[f"lambda_{depth}"] = lam
         return rec + gan_term, metrics
 
-    def generator_loss(self, ae_params, disc_params, perceiver_params, batch, rng, step):
+    def generator_loss(self, ae_params, disc_params, disc_stats, perceiver_params,
+                       batch, rng, step):
         x = batch["source"]
         ae = self.ae_trainer.autoencoder
         pred, pred_vertical, emb_loss, h_top, h_vers = ae.apply(
@@ -128,13 +163,15 @@ class AdversarialTrainer:
             rngs={"sample": rng, "dropout": jax.random.fold_in(rng, 1)},
         )
         disc_sg = jax.lax.stop_gradient(disc_params)
+        stats_sg = jax.lax.stop_gradient(disc_stats)
         img_loss, metrics = self.vae_img_loss(
-            ae_params, disc_sg, perceiver_params, pred, h_top, x, step, 0
+            ae_params, disc_sg, stats_sg, perceiver_params, pred, h_top, x, step, 0
         )
         for i, (pred_i, h_i) in enumerate(zip(pred_vertical, h_vers)):
             target_i = interpolate_area(x, pred_i.shape[1:-1])
             li, mi = self.vae_img_loss(
-                ae_params, disc_sg, perceiver_params, pred_i, h_i, target_i, step, i + 1
+                ae_params, disc_sg, stats_sg, perceiver_params, pred_i, h_i, target_i,
+                step, i + 1
             )
             img_loss = img_loss + li
             metrics.update(mi)
@@ -145,14 +182,26 @@ class AdversarialTrainer:
         )
         return loss, (metrics, pred, pred_vertical)
 
-    def discriminator_loss(self, disc_params, batch, pred, pred_vertical, step):
-        """Reference ``gan_img_loss`` summed over levels (:963-973, 1005-1013)."""
+    def discriminator_loss(self, disc_params, disc_stats, batch, pred, pred_vertical, step):
+        """Reference ``gan_img_loss`` summed over levels (:963-973, 1005-1013).
+
+        Returns ``(loss, (metrics, new_stats))``. BatchNorm running statistics
+        (NLayerDiscriminator) are threaded real-then-fake per level (matching
+        torch's sequential calls) and frozen while the GAN is inactive — the
+        reference never calls D before ``start_gan_train_step``."""
         x = batch["source"]
         active = (step > self.start_gan_train_step).astype(x.dtype)
+        stats = dict(disc_stats or {})
 
         def one(depth, p, t):
-            logits_real = self._disc_apply(disc_params, depth, t)
-            logits_fake = self._disc_apply(disc_params, depth, jax.lax.stop_gradient(p))
+            logits_real, s = self._disc_apply(disc_params, stats, depth, t)
+            if s is not None:
+                stats[f"disc_{depth}"] = s
+            logits_fake, s = self._disc_apply(
+                disc_params, stats, depth, jax.lax.stop_gradient(p)
+            )
+            if s is not None:
+                stats[f"disc_{depth}"] = s
             return self.gan_loss(logits_real, logits_fake) * active
 
         loss = one(0, pred, x)
@@ -165,7 +214,12 @@ class AdversarialTrainer:
             metrics[f"loss_1_{i + 1}"] = li
             loss = loss + li
         metrics["loss_1"] = loss
-        return loss, metrics
+        # Freeze stats until activation (reference gating, :963-967).
+        new_stats = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(step > self.start_gan_train_step, new, old),
+            stats, dict(disc_stats or {}),
+        )
+        return loss, (metrics, new_stats)
 
 
 def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = False) -> Callable:
@@ -175,17 +229,19 @@ def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = Fals
     def step_fn(state: GANTrainState, perceiver_params, batch, rng):
         (g_loss, (g_metrics, pred, pred_ver)), g_grads = jax.value_and_grad(
             trainer.generator_loss, has_aux=True
-        )(state.gen.params, state.disc.params, perceiver_params, batch, rng, state.step)
+        )(state.gen.params, state.disc.params, state.disc_stats, perceiver_params,
+          batch, rng, state.step)
         new_gen = state.gen.apply_gradients(g_grads)
 
-        (d_loss, d_metrics), d_grads = jax.value_and_grad(
+        (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
             trainer.discriminator_loss, has_aux=True
-        )(state.disc.params, batch, jax.lax.stop_gradient(pred),
+        )(state.disc.params, state.disc_stats, batch, jax.lax.stop_gradient(pred),
           jax.lax.stop_gradient(pred_ver), state.step + 1)
         new_disc = state.disc.apply_gradients(d_grads)
 
         metrics = {**g_metrics, **d_metrics, "loss": g_loss}
-        new_state = state.replace(step=state.step + 2, gen=new_gen, disc=new_disc)
+        new_state = state.replace(step=state.step + 2, gen=new_gen, disc=new_disc,
+                                  disc_stats=new_stats)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,)) if donate else jax.jit(step_fn)
@@ -194,11 +250,14 @@ def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = Fals
 def init_discriminators(
     discriminator, rng, sample_shapes: Sequence[Tuple[int, ...]]
 ) -> Dict:
-    """Init one parameter subtree per pyramid level (reference: nn.ModuleList of
-    identical Discriminators, latent_embedders.py:924-925)."""
-    params = {}
+    """Init one flax variable dict per pyramid level (reference: nn.ModuleList
+    of identical Discriminators, latent_embedders.py:924-925). Each entry is
+    ``{"params": ..}`` plus ``"batch_stats"`` for BatchNorm discriminators
+    (NLayerDiscriminator); pass the result to :meth:`GANTrainState.create`."""
+    variables = {}
     for i, shape in enumerate(sample_shapes):
-        params[f"disc_{i}"] = discriminator.init(
+        v = discriminator.init(
             jax.random.fold_in(rng, i), jnp.zeros(shape, jnp.float32)
-        )["params"]
-    return params
+        )
+        variables[f"disc_{i}"] = {k: v[k] for k in ("params", "batch_stats") if k in v}
+    return variables

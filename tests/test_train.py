@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import optax
 
 from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
-from medfusion_tpu.models.latent_embedders import VAE, Discriminator
+from medfusion_tpu.models.latent_embedders import VAE, Discriminator, NLayerDiscriminator
 from medfusion_tpu.models.unet import UNet
 from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
 from medfusion_tpu.train import (
@@ -112,6 +112,48 @@ def test_adversarial_step_and_adaptive_lambda():
     assert np.isfinite(float(metrics["loss_0"]))
     assert float(metrics["lambda_0"]) >= 0.0
     assert np.isfinite(float(metrics["loss_1"]))
+
+
+def test_adversarial_step_with_patchgan_batchnorm():
+    """NLayerDiscriminator (BatchNorm PatchGAN, reference
+    latent_embedders.py:134-186) trains in the two-player flow: running stats
+    thread through the jitted step, stay frozen while the GAN is inactive
+    (the reference never calls D before start_gan_train_step, :963-967), and
+    move once it activates."""
+    vae = _tiny_vae()
+    disc = NLayerDiscriminator(spatial_dims=2, hid_chs=(4, 8),
+                               kernel_sizes=(4, 4), strides=(2, 1))
+    ae_trainer = AutoencoderTrainer(autoencoder=vae, flavor="vae", perceiver=None)
+    trainer = AdversarialTrainer(ae_trainer=ae_trainer, discriminator=disc,
+                                 n_discriminators=2, start_gan_train_step=2)
+    x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    ae_params = vae.init({"params": KEY, "sample": KEY}, x)["params"]
+    disc_vars = init_discriminators(disc, KEY, [(1, 16, 16, 1), (1, 8, 8, 1)])
+    assert "batch_stats" in disc_vars["disc_0"], "PatchGAN must carry BatchNorm stats"
+    state = GANTrainState.create(ae_params, disc_vars, optax.adam(1e-4), optax.adam(1e-4))
+    stats0 = jax.tree_util.tree_map(np.asarray, state.disc_stats)
+
+    step = make_adversarial_train_step(trainer, donate=False)
+    # batch 1: gen step=0, disc step=1 -> both <= start(2): inactive, stats frozen
+    state, metrics = step(state, None, {"source": x}, jax.random.PRNGKey(0))
+    assert float(metrics["gan_loss_0"]) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(stats0),
+                    jax.tree_util.tree_leaves(state.disc_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # batch 2: disc step=3 > 2 -> active; stats move, losses/lambda finite
+    state, metrics = step(state, None, {"source": x}, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_1"]))
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(stats0),
+                        jax.tree_util.tree_leaves(state.disc_stats))
+    )
+    assert moved, "BatchNorm running stats must update once the GAN is active"
+    # batch 3: gen step=4 > 2 -> generator GAN term + adaptive lambda active
+    state, metrics = step(state, None, {"source": x}, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["lambda_0"])) and float(metrics["lambda_0"]) >= 0.0
+    assert np.isfinite(float(metrics["gan_loss_0"]))
 
 
 def test_lambda_conv_head_matches_full_module_grad():
