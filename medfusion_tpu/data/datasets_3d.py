@@ -6,9 +6,9 @@ which loads NIfTI via torchio (not installed in this image): crawler + loader +
 resize/flip/crop-or-pad + z-norm-or-rescale to [-1, 1], output [D, H, W, C]
 channels-last (the reference emits [C, D, H, W]).
 
-Supported containers: ``.npy``/``.npz`` volumes ([D, H, W] or [D, H, W, C]).
-NIfTI support slots in by overriding ``load_item`` once a nibabel-like reader
-is available (zero-egress image ships none).
+Supported containers: ``.npy``/``.npz`` volumes ([D, H, W] or [D, H, W, C])
+and single-file NIfTI-1 ``.nii``/``.nii.gz`` (via the in-repo affine-free
+reader :mod:`medfusion_tpu.data.nifti`; pass ``crawler_ext="nii.gz"``).
 """
 
 from __future__ import annotations
@@ -70,6 +70,11 @@ class SimpleDataset3D:
         return len(self.item_pointers)
 
     def load_item(self, path_item) -> np.ndarray:
+        name = Path(path_item).name.lower()
+        if name.endswith(".nii") or name.endswith(".nii.gz"):
+            from medfusion_tpu.data.nifti import read_nifti
+
+            return np.asarray(read_nifti(path_item), np.float32)
         arr = np.load(path_item)
         if hasattr(arr, "files"):  # npz
             arr = arr[arr.files[0]]

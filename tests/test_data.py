@@ -105,6 +105,62 @@ def test_dataset_3d_roundtrip(tmp_path):
     np.testing.assert_allclose([s.min(), s.max()], [-1.0, 1.0], atol=1e-5)
 
 
+def test_nifti_roundtrip_and_dataset_ingestion(tmp_path):
+    """In-repo NIfTI-1 reader (reference ingests .nii via torchio,
+    dataset_simple_3d.py:12-58): write->read round-trips across dtypes,
+    gzip, and byte order; SimpleDataset3D crawls .nii.gz directly."""
+    from medfusion_tpu.data.nifti import read_nifti, write_nifti
+
+    rng = np.random.default_rng(2)
+    # dtype round-trips (.nii and .nii.gz)
+    for dtype in (np.uint8, np.int16, np.int32, np.float32, np.float64):
+        vol = (rng.normal(size=(5, 6, 7)) * 50).astype(dtype)
+        for ext in ("nii", "nii.gz"):
+            p = tmp_path / f"rt_{np.dtype(dtype).name}.{ext}"
+            write_nifti(p, vol)
+            got = read_nifti(p)
+            assert got.dtype == np.dtype(dtype) and got.shape == vol.shape
+            np.testing.assert_array_equal(got, vol)
+    # 4-D volume keeps the trailing axis
+    vol4 = rng.normal(size=(4, 5, 6, 2)).astype(np.float32)
+    write_nifti(tmp_path / "vol4.nii", vol4)
+    np.testing.assert_array_equal(read_nifti(tmp_path / "vol4.nii"), vol4)
+    # scl_slope / scl_inter scaling is applied on read
+    import struct
+
+    raw = (tmp_path / "rt_int16.nii").read_bytes()
+    hdr = bytearray(raw)
+    struct.pack_into("<f", hdr, 112, 2.0)  # scl_slope
+    struct.pack_into("<f", hdr, 116, 3.0)  # scl_inter
+    (tmp_path / "scaled.nii").write_bytes(bytes(hdr))
+    base = read_nifti(tmp_path / "rt_int16.nii")
+    np.testing.assert_allclose(read_nifti(tmp_path / "scaled.nii"),
+                               base.astype(np.float32) * 2.0 + 3.0)
+    # big-endian header detection
+    le = read_nifti(tmp_path / "rt_float32.nii")
+    be_hdr = bytearray(348)
+    struct.pack_into(">i", be_hdr, 0, 348)
+    struct.pack_into(">8h", be_hdr, 40, 3, *le.shape, 1, 1, 1, 1)
+    struct.pack_into(">2h", be_hdr, 70, 16, 32)
+    struct.pack_into(">f", be_hdr, 108, 352.0)
+    be_hdr[344:348] = b"n+1\x00"
+    payload = np.asfortranarray(le).astype(">f4").tobytes(order="F")
+    (tmp_path / "be.nii").write_bytes(bytes(be_hdr) + b"\x00" * 4 + payload)
+    np.testing.assert_array_equal(read_nifti(tmp_path / "be.nii"), le)
+    # dataset ingestion: crawl .nii.gz, crop + rescale like the torchio path
+    nii_dir = tmp_path / "niis"
+    nii_dir.mkdir()
+    for i in range(2):
+        write_nifti(nii_dir / f"vol_{i}.nii.gz",
+                    rng.normal(size=(8, 12, 12)).astype(np.float32))
+    ds = SimpleDataset3D(nii_dir, crawler_ext="nii.gz", image_crop=(8, 10, 10),
+                         use_znorm=False)
+    assert len(ds) == 2
+    s = ds[0]["source"]
+    assert s.shape == (8, 10, 10, 1)
+    np.testing.assert_allclose([s.min(), s.max()], [-1.0, 1.0], atol=1e-5)
+
+
 def test_grain_loader_and_prefetch():
     from medfusion_tpu.data.grain_loader import make_grain_loader
     from medfusion_tpu.data.prefetch import prefetch_to_device
