@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import argparse
 import io
-import json
+import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -45,16 +46,47 @@ seed <input type="number" name="seed" value="0">
 
 
 class DemoState:
+    """Pipelines + generated batches, keyed by the FULL request parameters so
+    concurrent users can't overwrite each other's images (the reference
+    streamlit app gets this per-session from st.cache, pages/chest.py:13-41)."""
+
+    _MAX_BATCHES = 8
+
     def __init__(self, args):
         self.args = args
         self._cache = {}
+        self._images = OrderedDict()
+        self._lock = threading.Lock()
 
     def pipeline(self, preset_name):
-        if preset_name not in self._cache:
-            p = PRESETS[preset_name]
-            pipe, params = load_pipeline(self.args, p)
-            self._cache[preset_name] = (p, pipe, params)
-        return self._cache[preset_name]
+        with self._lock:
+            if preset_name not in self._cache:
+                p = PRESETS[preset_name]
+                pipe, params = load_pipeline(self.args, p)
+                self._cache[preset_name] = (p, pipe, params)
+            return self._cache[preset_name]
+
+    def images_for(self, preset, n, steps, guidance, cond_val, seed):
+        """uint8 [n, H, W, C] for the request key; sampled once, LRU-cached."""
+        key = (preset, n, steps, guidance, cond_val, seed)
+        with self._lock:
+            if key in self._images:
+                self._images.move_to_end(key)
+                return self._images[key]
+        p, pipe, params = self.pipeline(preset)
+        cond = jnp.full((n,), cond_val, jnp.int32) if p.num_classes else None
+        imgs = pipe.sample(
+            params, jax.random.PRNGKey(seed), n, p.latent_shape,
+            condition=cond, steps=min(steps, p.timesteps), use_ddim=True,
+            guidance_scale=guidance if cond is not None else 1.0,
+        )
+        arr = ((np.asarray(imgs).clip(-1, 1) + 1) * 127.5).astype(np.uint8)
+        with self._lock:
+            self._images[key] = arr
+            self._images.move_to_end(key)
+            while len(self._images) > self._MAX_BATCHES:
+                self._images.popitem(last=False)
+        return arr
 
 
 def make_handler(state: DemoState):
@@ -75,39 +107,41 @@ def make_handler(state: DemoState):
             self.end_headers()
             self.wfile.write(data)
 
+        @staticmethod
+        def _request_key(q):
+            preset = q.get("preset", state.args.preset)
+            return dict(
+                preset=preset,
+                n=min(int(q.get("n", 4)), 25),
+                steps=min(int(q.get("steps", 50)), 999),
+                guidance=float(q.get("guidance", 8)),
+                cond_val=int(q.get("cond", 1)),
+                seed=int(q.get("seed", 0)),
+            )
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/":
                 return self._html()
             if url.path == "/sample":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
-                preset = q.get("preset", state.args.preset)
-                n = min(int(q.get("n", 4)), 25)
-                steps = min(int(q.get("steps", 50)), 999)
-                guidance = float(q.get("guidance", 8))
-                seed = int(q.get("seed", 0))
-                cond_val = int(q.get("cond", 1))
-                p, pipe, params = state.pipeline(preset)
-                cond = (jnp.full((n,), cond_val, jnp.int32)
-                        if p.num_classes else None)
-                imgs = pipe.sample(
-                    params, jax.random.PRNGKey(seed), n, p.latent_shape,
-                    condition=cond, steps=min(steps, p.timesteps), use_ddim=True,
-                    guidance_scale=guidance if cond is not None else 1.0,
-                )
-                arr = ((np.asarray(imgs).clip(-1, 1) + 1) * 127.5).astype(np.uint8)
+                key = self._request_key(q)
+                arr = state.images_for(**key)
+                query = (f"preset={key['preset']}&n={key['n']}&steps={key['steps']}"
+                         f"&guidance={key['guidance']}&cond={key['cond_val']}"
+                         f"&seed={key['seed']}")
                 tags = "".join(
-                    f'<img src="/img?preset={preset}&seed={seed}&i={i}" width="128">'
-                    for i in range(n)
+                    f'<img src="/img?{query}&i={i}" width="128">'
+                    for i in range(arr.shape[0])
                 )
-                self._last = arr
-                Handler.last_images = arr
-                return self._html(f"<h2>{n} samples, {steps} steps</h2>{tags}")
+                return self._html(
+                    f"<h2>{key['n']} samples, {key['steps']} steps</h2>{tags}"
+                )
             if url.path == "/img":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 i = int(q.get("i", 0))
-                arr = getattr(Handler, "last_images", None)
-                if arr is None or i >= arr.shape[0]:
+                arr = state.images_for(**self._request_key(q))
+                if i >= arr.shape[0]:
                     self.send_response(404)
                     self.end_headers()
                     return
