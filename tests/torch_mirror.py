@@ -283,7 +283,9 @@ class UNet2(nn.Module):
         ])
 
     def forward(self, x_t, t, condition):
-        emb = self.time_embedder(t) + self.cond_embedder(condition)
+        emb = self.time_embedder(t)
+        if condition is not None:  # reference save_add semantics (conv_blocks.py:16-18)
+            emb = emb + self.cond_embedder(condition)
         x = [self.in_conv(x_t)]
         for blk in self.in_blocks:
             if isinstance(blk, BasicDown):
@@ -392,7 +394,9 @@ class UNet2Attn(UNet2):
         self.out_blocks = nn.ModuleList(out_blocks)
 
     def forward(self, x_t, t, condition):
-        emb = self.time_embedder(t) + self.cond_embedder(condition)
+        emb = self.time_embedder(t)
+        if condition is not None:  # reference save_add semantics (conv_blocks.py:16-18)
+            emb = emb + self.cond_embedder(condition)
         x = [self.in_conv(x_t)]
         for blk in self.in_blocks:
             if isinstance(blk, BasicDown):
@@ -521,7 +525,9 @@ class UNet2Spatial(UNet2):
 
 
 def _unet2_forward_with_attention(self, x_t, t, condition):
-    emb = self.time_embedder(t) + self.cond_embedder(condition)
+    emb = self.time_embedder(t)
+    if condition is not None:  # reference save_add semantics (conv_blocks.py:16-18)
+        emb = emb + self.cond_embedder(condition)
     x = [self.in_conv(x_t)]
     for blk in self.in_blocks:
         if isinstance(blk, BasicDown):
