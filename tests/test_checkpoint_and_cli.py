@@ -49,6 +49,57 @@ def test_filter_weights_partial_loading():
 
 
 @pytest.mark.slow
+def test_extract_vae_roundtrip_into_sample(tmp_path):
+    """Reference VAEGAN->VAE checkpoint workflow (dump_discrimnator.py:10-25):
+    GAN-train an AE, extract the generator into a plain-VAE checkpoint, and
+    drive cli/sample with it — the extracted weights must be the trained
+    generator's, and sampling must produce images from them."""
+    from medfusion_tpu.cli import helpers, sample, train_autoencoder
+    from medfusion_tpu.cli.presets import PRESETS, build_vae
+    from medfusion_tpu.train import GANTrainState, TrainState
+    from medfusion_tpu.train.adversarial import init_discriminators
+    from medfusion_tpu.models.latent_embedders import Discriminator
+    import optax
+
+    ae_out = tmp_path / "ae_gan"
+    train_autoencoder.main([
+        "--preset", "smoke", "--gan", "--start-gan-step", "1",
+        "--max-steps", "3", "--ckpt-every", "3", "--sample-every", "99",
+        "--out", str(ae_out),
+    ])
+    gan_dir = ae_out / "checkpoints"
+    assert C.latest_step(gan_dir) is not None
+
+    vae_dir = tmp_path / "vae_extracted"
+    helpers.main(["extract-vae", "--preset", "smoke",
+                  "--ckpt", str(gan_dir), "--out", str(vae_dir)])
+
+    # extracted params == the GAN generator's params
+    p = PRESETS["smoke"]
+    key = jax.random.PRNGKey(0)
+    vae = build_vae(p)
+    x0 = np.zeros((1, p.image_size, p.image_size, p.in_channels), np.float32)
+    vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
+    disc = Discriminator(spatial_dims=2)
+    shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
+              for i in range(p.ae_deep_supervision + 1)]
+    gan_state = C.restore_checkpoint(
+        gan_dir, GANTrainState.create(vae_params, init_discriminators(disc, key, shapes),
+                                      optax.adam(1e-6), optax.adam(1e-6)))
+    extracted = C.restore_checkpoint(vae_dir, TrainState.create(vae_params, optax.adam(1e-4)))
+    for a, b in zip(jax.tree_util.tree_leaves(gan_state.gen.params),
+                    jax.tree_util.tree_leaves(extracted.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # extracted VAE drives the sampling CLI end to end
+    s_out = tmp_path / "samples"
+    sample.main(["--preset", "smoke", "--vae-ckpt", str(vae_dir),
+                 "--out", str(s_out), "--n", "2", "--steps", "3"])
+    assert (s_out / "sample_cond_0.png").exists()
+    assert (s_out / "sample_diff.png").exists()
+
+
+@pytest.mark.slow
 def test_cli_train_and_eval_smoke(tmp_path, monkeypatch):
     from medfusion_tpu.cli import evaluate_latent_embedder, train_autoencoder, train_diffusion
 
