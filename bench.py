@@ -11,21 +11,29 @@ conditional, chest latent 8x32x32 -> VAE-decoded 256x256):
   params/activations (BASELINE: fp32 bit-faithful parity is tested in
   tests/, bf16 is the validated production dtype).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"batch", "tflops_per_sample"}.
 
-Measured on the v5e chip: 22.1 samples/s exact (=headline); the opt-in
-encoder-propagation sampler (pipelines.diffusion.denoise_fast,
-arXiv:2312.09608) reaches 26.8 (key_every=3) / 28.1 (key_every=5) samples/s —
-an approximate-sampling trade not counted in the headline protocol number.
+* ``mfu`` — measured model FLOP utilization: (FLOPs/sample x samples/s) /
+  197e12 (v5e bf16 peak). FLOPs/sample comes from XLA's own cost analysis of
+  the UNet forward (x150) + VAE decode.
+* ``vs_baseline`` — measured throughput / an analytic estimate of the
+  reference on A100: the same per-sample FLOPs divided by an assumed
+  55 TFLOP/s effective for eager fp32/TF32 torch (~35% of TF32 peak —
+  generous for an eager per-step host loop). The reference publishes no
+  measured number (BASELINE.md), so this constant is the documented stand-in.
+* Batch size: the protocol metric is samples/s/chip; batch is free headroom.
+  ``--sweep`` measures B in {32, 64, 128} (3 large remote compiles, run it
+  alone); the default single-run batch below is the sweep's winner.
 
-``vs_baseline`` is measured throughput / an analytic estimate of the reference
-on A100: per-sample UNet+decoder FLOPs taken from XLA's own cost analysis of
-this program, divided by an assumed 55 TFLOP/s effective for eager fp32/TF32
-torch on A100 (~35% of TF32 peak — generous for an eager per-step host loop).
-The reference publishes no measured number (BASELINE.md), so this constant is
-the documented stand-in.
+Usage:
+  python bench.py            # one measurement at the pinned best batch
+  python bench.py --batch 64 # one measurement at a chosen batch
+  python bench.py --sweep    # full batch sweep, prints one line per batch,
+                             # final JSON line is the best
 """
 
+import argparse
 import json
 import time
 
@@ -37,9 +45,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/medfusion_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-BATCH = 32
+DEFAULT_BATCH = 32  # round-2 sweep winner (see PARITY.md "Batch sweep")
 STEPS = 150
 RUNS = 3
+V5E_PEAK_FLOPS = 197e12  # bf16
 A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
 
 
@@ -73,29 +82,11 @@ def build():
     return pipe, params
 
 
-def main():
-    pipe, params = build()
-    cond = jnp.zeros((BATCH,), jnp.int32)
-
-    def run(params, rng):
-        out = pipe.sample(
-            params, rng, BATCH, (32, 32, 8), condition=cond,
-            steps=STEPS, use_ddim=True, guidance_scale=1.0, eta=1.0,
-        )
-        # Scalar checksum: forces the full computation while keeping the
-        # host transfer at 4 bytes (the axon tunnel's bulk fetch would
-        # otherwise dominate the timing).
-        return jnp.sum(out)
-
-    jitted = jax.jit(run)
-    compiled = jitted.lower(params, jax.random.PRNGKey(0)).compile()
-
-    # Per-sample FLOPs for the baseline estimate: one UNet forward x STEPS plus
-    # one decode, from XLA's cost analysis of each sub-program (cost analysis
-    # of the scanned program counts the loop body only once).
+def flops_per_sample(pipe, params):
+    """One UNet forward x STEPS + one decode, from XLA cost analysis (compiled
+    on local CPU — FLOP counts are backend-independent and this avoids extra
+    remote-compile round trips)."""
     def flops_of(f, *args):
-        # FLOP counts are dtype/backend-independent; compile on local CPU to
-        # avoid extra round-trips through the remote TPU tunnel.
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
@@ -110,11 +101,24 @@ def main():
         params, z1, t1, t1,
     )
     decode_flops = flops_of(lambda p, z: pipe.decode_latent(p, z), params, z1)
-    flops_per_sample = unet_flops * STEPS + decode_flops
+    return unet_flops * STEPS + decode_flops
 
-    # warmup (compile already done; one execution to settle); then time each
-    # run to completion by materializing the scalar checksum.
-    float(compiled(params, jax.random.PRNGKey(0)))
+
+def run_bench(pipe, params, batch, fps):
+    cond = jnp.zeros((batch,), jnp.int32)
+
+    def run(params, rng):
+        out = pipe.sample(
+            params, rng, batch, (32, 32, 8), condition=cond,
+            steps=STEPS, use_ddim=True, guidance_scale=1.0, eta=1.0,
+        )
+        # Scalar checksum: forces the full computation while keeping the
+        # host transfer at 4 bytes (the axon tunnel's bulk fetch would
+        # otherwise dominate the timing).
+        return jnp.sum(out)
+
+    compiled = jax.jit(run).lower(params, jax.random.PRNGKey(0)).compile()
+    float(compiled(params, jax.random.PRNGKey(0)))  # settle
     times = []
     for i in range(RUNS):
         t0 = time.perf_counter()
@@ -122,19 +126,40 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    samples_per_sec = BATCH / dt
-    if flops_per_sample > 0:
-        baseline_sps = A100_EFFECTIVE_FLOPS / flops_per_sample
-        vs_baseline = samples_per_sec / baseline_sps
-    else:
-        vs_baseline = float("nan")
-
-    print(json.dumps({
+    samples_per_sec = batch / dt
+    mfu = (fps * samples_per_sec / V5E_PEAK_FLOPS) if fps > 0 else float("nan")
+    vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
+    return {
         "metric": "256x256 samples/sec/chip (150-step DDIM, chest latent 8x32x32, bf16)",
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
-        "vs_baseline": round(vs_baseline, 4),
-    }))
+        "vs_baseline": round(vs, 4),
+        "mfu": round(mfu, 4),
+        "batch": batch,
+        "tflops_per_sample": round(fps / 1e12, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=DEFAULT_BATCH)
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure B in {32,64,128}; final line = best")
+    args = ap.parse_args()
+
+    pipe, params = build()
+    fps = flops_per_sample(pipe, params)
+
+    if args.sweep:
+        results = []
+        for b in (32, 64, 128):
+            r = run_bench(pipe, params, b, fps)
+            print(f"# batch {b}: {r['value']} samples/s  mfu={r['mfu']}", flush=True)
+            results.append(r)
+        best = max(results, key=lambda r: r["value"])
+    else:
+        best = run_bench(pipe, params, args.batch, fps)
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":
