@@ -66,6 +66,9 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--encoder-key-every", type=int, default=1,
                     help=">1 uses the encoder-propagation fast sampler")
+    ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
+                    help="dpmpp = DPM-Solver++(2M), comparable quality at "
+                         "25-50 steps (beyond-reference, arXiv:2211.01095)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -79,7 +82,12 @@ def main(argv=None):
         cond = None if cond_val is None else jnp.full((args.n,), cond_val, jnp.int32)
         rng = jax.random.PRNGKey(args.seed)  # same noise across conditions (sample.py:37)
         gs = args.guidance if cond_val is not None else 1.0
-        if args.encoder_key_every > 1:
+        if args.sampler == "dpmpp":
+            k1, _ = jax.random.split(rng)
+            x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
+            imgs = pipe.denoise_dpmpp(params, x_T, condition=cond, steps=steps,
+                                      guidance_scale=gs)
+        elif args.encoder_key_every > 1:
             k1, k2 = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
             imgs = pipe.denoise_fast(params, x_T, k2, condition=cond, steps=steps,

@@ -213,6 +213,27 @@ class DiffusionPipeline:
     # inference
     # ------------------------------------------------------------------
 
+    def _guided_pred(self, params, x_t, t, condition=None, self_cond=None,
+                     guidance_scale: float = 1.0, un_cond=None):
+        """One (optionally classifier-free-guided) estimator output.
+        CFG runs [uncond | cond] in ONE batched forward (reference runs two
+        sequential calls, diffusion_pipeline.py:240-249)."""
+        b = x_t.shape[0]
+        if (condition is not None) and (guidance_scale != 1.0):
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            cond_u = un_cond if un_cond is not None else jnp.zeros_like(condition)
+            cond2 = jnp.concatenate([cond_u, condition], axis=0)
+            mask_u = jnp.ones((b,), x_t.dtype) if un_cond is not None else jnp.zeros((b,), x_t.dtype)
+            mask2 = jnp.concatenate([mask_u, jnp.ones((b,), x_t.dtype)], axis=0)
+            sc2 = None if self_cond is None else jnp.concatenate([self_cond, self_cond], axis=0)
+            pred2, _ = self._apply_estimator(params, x2, t2, cond2, sc2, mask2)
+            pred_uncond, pred_cond = pred2[:b], pred2[b:]
+            return pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+        cond_mask = None if condition is None else jnp.ones((b,), x_t.dtype)
+        pred, _ = self._apply_estimator(params, x_t, t, condition, self_cond, cond_mask)
+        return pred
+
     def estimate(
         self,
         params,
@@ -231,22 +252,8 @@ class DiffusionPipeline:
         step's gaussian draw (callers control RNG).
         """
         sched = self.scheduler
-        b = x_t.shape[0]
-        if (condition is not None) and (guidance_scale != 1.0):
-            # Batched CFG: [uncond | cond] in one forward.
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            cond_u = un_cond if un_cond is not None else jnp.zeros_like(condition)
-            cond2 = jnp.concatenate([cond_u, condition], axis=0)
-            mask_u = jnp.ones((b,), x_t.dtype) if un_cond is not None else jnp.zeros((b,), x_t.dtype)
-            mask2 = jnp.concatenate([mask_u, jnp.ones((b,), x_t.dtype)], axis=0)
-            sc2 = None if self_cond is None else jnp.concatenate([self_cond, self_cond], axis=0)
-            pred2, _ = self._apply_estimator(params, x2, t2, cond2, sc2, mask2)
-            pred_uncond, pred_cond = pred2[:b], pred2[b:]
-            pred = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
-        else:
-            cond_mask = None if condition is None else jnp.ones((b,), x_t.dtype)
-            pred, _ = self._apply_estimator(params, x_t, t, condition, self_cond, cond_mask)
+        pred = self._guided_pred(params, x_t, t, condition, self_cond,
+                                 guidance_scale, un_cond)
 
         if self.estimate_variance:
             pred, pred_var = jnp.split(pred, 2, axis=-1)
@@ -333,6 +340,74 @@ class DiffusionPipeline:
             return (x_new, new_sc), None
 
         (x_out, _), _ = jax.lax.scan(body, (x_t, init_self_cond), (ts_rev, ts_next, has_next, keys))
+        if decode:
+            x_out = self.decode_latent(params, x_out)
+        return x_out
+
+    def denoise_dpmpp(
+        self,
+        params,
+        x_t,
+        rng=None,
+        condition=None,
+        steps: Optional[int] = None,
+        guidance_scale: float = 1.0,
+        un_cond=None,
+        decode: bool = True,
+    ):
+        """DPM-Solver++(2M) — deterministic second-order multistep sampler
+        (Lu et al., arXiv:2211.01095), opt-in and BEYOND the reference (which
+        ships DDPM/DDIM only): comparable sample quality at 25-50 steps
+        instead of 150-250. Same TPU architecture as :meth:`denoise` — the
+        whole solver is ONE ``lax.scan``; n estimator forwards for n steps
+        (the final forward returns the data prediction at t=0).
+
+        Works for both estimator objectives via the x0-prediction
+        formulation; ``rng`` is unused (deterministic) and accepted for API
+        symmetry.
+        """
+        sched = self.scheduler
+        n = sched.timesteps if steps is None else steps
+        assert n >= 2, "DPM-Solver++(2M) needs at least 2 steps"
+        ts = sched.ddim_timesteps(n)  # ascending [0 .. T-1], length n
+        ts_rev = ts[::-1]
+        b = x_t.shape[0]
+
+        ab = sched.alphas_cumprod
+        lam = 0.5 * (jnp.log(ab) - jnp.log1p(-ab))  # log(alpha_t / sigma_t)
+        alpha = sched.sqrt_alphas_cumprod
+        sigma = sched.sqrt_one_minus_alphas_cumprod
+
+        def x0_pred(x, t_scalar):
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            pred = self._guided_pred(params, x, t_b, condition, None,
+                                     guidance_scale, un_cond)
+            if self.estimate_variance:
+                pred, _ = jnp.split(pred, 2, axis=-1)
+            if self.estimator_objective == "x_T":
+                return S.estimate_x_0(sched, x, pred, t_b, clip=self.clip_x0)
+            return jnp.clip(pred, -1.0, 1.0) if self.clip_x0 else pred
+
+        def body(carry, inp):
+            x, d_prev, h_prev, has_prev = carry
+            t_cur, t_next = inp
+            d = x0_pred(x, t_cur)
+            h = lam[t_next] - lam[t_cur]  # > 0 (noise decreasing)
+            # 2M correction: extrapolate the data prediction using the
+            # previous point; first step falls back to first order (DDIM).
+            h_prev_safe = jnp.where(has_prev, h_prev, h)
+            r = h_prev_safe / h
+            d2 = (1.0 + 1.0 / (2.0 * r)) * d - (1.0 / (2.0 * r)) * d_prev
+            d_bar = jnp.where(has_prev, d2, d)
+            x_new = (sigma[t_next] / sigma[t_cur]) * x \
+                - alpha[t_next] * jnp.expm1(-h) * d_bar
+            return (x_new, d, h, jnp.ones((), bool)), None
+
+        init = (x_t, jnp.zeros_like(x_t), jnp.zeros(()), jnp.zeros((), bool))
+        (x_out, _, _, _), _ = jax.lax.scan(body, init, (ts_rev[:-1], ts_rev[1:]))
+        # Final step to zero noise: return the data prediction at the last
+        # grid point (k-diffusion convention: sigma_next=0 => x = denoised).
+        x_out = x0_pred(x_out, ts_rev[-1])
         if decode:
             x_out = self.decode_latent(params, x_out)
         return x_out

@@ -150,3 +150,84 @@ def test_fast_sampler_key_every_1_is_exact():
                               guidance_scale=4.0, encoder_key_every=3, decode=False)
     drift = float(jnp.max(jnp.abs(exact - fast3)))
     assert np.isfinite(drift) and drift < 0.5
+
+
+class _OracleX0(nn.Module):
+    """Returns the TRUE x0 regardless of input: with an exact data
+    prediction, any consistent probability-flow solver reproduces the closed
+    trajectory x_t = alpha_t x0 + sigma_t eps exactly."""
+
+    x0: tuple  # nested tuple of the target, baked as a constant
+
+    @nn.compact
+    def __call__(self, x_t, t=None, condition=None, self_cond=None,
+                 cond_mask=None, train=False):
+        _ = self.param("dummy", lambda k: jnp.zeros(()))
+        x0 = jnp.asarray(np.asarray(self.x0, np.float32))[None, :, :, None]
+        return jnp.broadcast_to(x0, x_t.shape), []
+
+
+def test_dpmpp_oracle_recovers_x0_exactly():
+    """DPM-Solver++(2M) with an oracle x0-denoiser: the update
+    x_next = (s_n/s_c) x - a_n expm1(-h) x0 collapses to
+    a_n x0 + s_n eps, so the sampler must return x0 to float precision."""
+    T = 100
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-0.9, 0.9, (1, 4, 4, 1)).astype(np.float32)
+    est = _OracleX0(x0=tuple(map(tuple, x0[0, :, :, 0].tolist())))
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
+    )
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=est,
+                             estimator_objective="x_0", clip_x0=False,
+                             do_input_centering=False)
+    params = {"noise_estimator": est.init(KEY, jnp.zeros((2, 4, 4, 1)))["params"]}
+    x_T = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    for steps in (5, 25):
+        out = pipe.denoise_dpmpp(params, x_T, steps=steps, decode=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(x0[..., None].reshape(1, 4, 4, 1), (2, 4, 4, 1)),
+            atol=1e-5, err_msg=f"steps={steps}",
+        )
+
+
+def test_dpmpp_second_order_beats_ddim_at_few_steps():
+    """The selling point: against a fine-grid DDIM(eta=0) ground truth of the
+    same probability-flow ODE, DPM++(2M) at 20 steps must land closer than
+    first-order DDIM at 20 steps."""
+    T = 1000
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3), strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0)
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
+    )
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             do_input_centering=False, clip_x0=False)
+    x = jnp.zeros((2, 8, 8, 1))
+    raw = unet.init(KEY, x, jnp.zeros((2,), jnp.int32))["params"]
+    rng = np.random.default_rng(6)
+    leaves, treedef = jax.tree_util.tree_flatten(raw)
+    params = {"noise_estimator": jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.standard_normal(l.shape).astype(np.float32) * 0.1)
+                  for l in leaves])}
+    x_T = jnp.asarray(rng.standard_normal((2, 8, 8, 1)).astype(np.float32))
+
+    truth = pipe.denoise(params, x_T, jax.random.PRNGKey(0), steps=400,
+                         use_ddim=True, eta=0.0, decode=False)
+    ddim20 = pipe.denoise(params, x_T, jax.random.PRNGKey(0), steps=20,
+                          use_ddim=True, eta=0.0, decode=False)
+    dpmpp20 = pipe.denoise_dpmpp(params, x_T, steps=20, decode=False)
+
+    err_ddim = float(jnp.linalg.norm(ddim20 - truth))
+    err_dpmpp = float(jnp.linalg.norm(dpmpp20 - truth))
+    assert np.isfinite(err_dpmpp)
+    assert err_dpmpp < err_ddim, (
+        f"DPM++(2M) 20-step error {err_dpmpp:.4f} !< DDIM 20-step {err_ddim:.4f}"
+    )
+
+
+def test_dpmpp_cfg_and_decode_shapes():
+    pipe, params, x = _small_pipe()
+    out = pipe.denoise_dpmpp(params, x, condition=None, steps=6, decode=False)
+    assert out.shape == x.shape and np.all(np.isfinite(np.asarray(out)))
