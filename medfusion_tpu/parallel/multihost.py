@@ -26,13 +26,15 @@ def initialize_multihost(
     Returns a summary dict {process_index, process_count, local/global devices}.
     """
     wants_init = coordinator_address is not None or (num_processes or 1) > 1
-    already_init = jax.process_count() > 1
-    try:  # single-process initialize() also counts as already-initialized
+    # IMPORTANT: do not touch jax.process_count()/jax.devices() before
+    # initialize() — they initialize the XLA backend and initialize() then
+    # refuses to run. The distributed client state is checkable without that.
+    try:
         from jax._src import distributed as _dist
 
-        already_init = already_init or _dist.global_state.client is not None
+        already_init = _dist.global_state.client is not None
     except Exception:
-        pass
+        already_init = False
     if wants_init and not already_init:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
