@@ -263,8 +263,12 @@ def flax_path_to_torch_key(path: str, kind: str = "unet") -> str:
     return k
 
 
-def to_torch_state_dict(params: Dict, kind: str = "unet", prefix: str = "") -> Dict[str, np.ndarray]:
-    """flax params -> reference-named torch state_dict (numpy-valued)."""
+def to_torch_state_dict(params: Dict, kind: str = "unet", prefix: str = "",
+                        spatial_dims: int = 2) -> Dict[str, np.ndarray]:
+    """flax params -> reference-named torch state_dict (numpy-valued).
+    ``spatial_dims`` sets the trailing unit dims of exported 1x1-conv
+    projections (SpatialTransformer proj_in/out, transformer MLP out conv),
+    so 3D (`spatial_dims=3`) models round-trip too."""
     import jax.tree_util as jtu
 
     flat = jtu.tree_flatten_with_path(params)[0]
@@ -272,5 +276,6 @@ def to_torch_state_dict(params: Dict, kind: str = "unet", prefix: str = "") -> D
     for keypath, val in flat:
         path = "/".join(p.key for p in keypath)
         tkey = flax_path_to_torch_key(path, kind=kind)
-        out[prefix + tkey] = _to_torch_leaf(path, np.asarray(val), tkey)
+        out[prefix + tkey] = _to_torch_leaf(path, np.asarray(val), tkey,
+                                            spatial_dims=spatial_dims)
     return out

@@ -126,3 +126,34 @@ def test_strip_prefix_for_pipeline_checkpoints():
     assert est["in_conv"]["conv"]["conv"]["kernel"].shape == (3, 3, 2, 4)
     le = TC.convert_state_dict(sd, strip_prefix="latent_embedder.")
     assert le["outc"]["conv"]["conv"]["kernel"].shape == (1, 1, 4, 1)
+
+
+def test_3d_state_dict_roundtrip():
+    """spatial_dims=3 export: conv kernels regain [O,I,k,k,k], 1x1 spatial-
+    transformer projections regain three trailing unit dims, and the
+    flax->torch->flax round trip is exact."""
+    unet = UNet(in_ch=2, out_ch=2, spatial_dims=3, hid_chs=(8, 16),
+                kernel_sizes=(3, 3), strides=(1, 2), time_emb_dim=32,
+                cond_emb_num_classes=2, deep_supervision=0,
+                use_attention="spatial",
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    z = jnp.zeros((1, 8, 8, 8, 2))
+    t = jnp.zeros((1,), jnp.int32)
+    params = unet.init(KEY, z, t, t)["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(3)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.standard_normal(l.shape).astype(np.float32)) for l in leaves]
+    )
+
+    sd = TC.to_torch_state_dict(params, kind="unet", spatial_dims=3)
+    # torch layouts: 3D conv [O, I, k, k, k]; ConvNd 1x1 projections [O, I, 1, 1, 1]
+    assert sd["in_conv.conv.weight"].ndim == 5
+    assert sd["in_blocks.0.1.attention.proj_in.weight"].shape[-3:] == (1, 1, 1)
+    back = TC.convert_state_dict(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
