@@ -28,6 +28,7 @@ def make_sharded_sampler(
     eta: float = 1.0,
     decode: bool = True,
     encoder_key_every: int = 1,
+    sampler: str = "ddim",  # 'ddim' | 'dpmpp' (DPM-Solver++(2M))
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
@@ -40,6 +41,11 @@ def make_sharded_sampler(
         k_init, k_loop = jax.random.split(rng)
         x_T = jax.random.normal(k_init, (num_samples, *img_size))
         x_T = jax.lax.with_sharding_constraint(x_T, batch_sharding(mesh, x_T.ndim))
+        if sampler == "dpmpp":
+            return pipeline.denoise_dpmpp(
+                params, x_T, condition=condition, steps=steps,
+                guidance_scale=guidance_scale, un_cond=un_cond, decode=decode,
+            )
         if encoder_key_every > 1:
             return pipeline.denoise_fast(
                 params, x_T, k_loop, condition=condition, steps=steps,

@@ -92,3 +92,22 @@ def test_sharded_bulk_sampler():
     assert np.all(np.isfinite(np.asarray(out)))
     # sharded over the data axis
     assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_bulk_sampler_dpmpp_matches_unsharded():
+    """DPM-Solver++ through the batch-sharded bulk path: sharded output ==
+    the unsharded pipeline result (deterministic sampler, exact check)."""
+    pipe, params, _ = _setup(8)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sampler = make_sharded_sampler(pipe, mesh, (8, 8, 1), steps=5,
+                                   guidance_scale=1.0, decode=False,
+                                   sampler="dpmpp")
+    p = {"noise_estimator": jax.device_put(params, replicated(mesh))}
+    out = sampler(p, jax.random.PRNGKey(3), 16)
+    assert out.shape == (16, 8, 8, 1)
+    assert len(out.sharding.device_set) == 8
+
+    k_init, _ = jax.random.split(jax.random.PRNGKey(3))
+    x_T = jax.random.normal(k_init, (16, 8, 8, 1))
+    ref = pipe.denoise_dpmpp({"noise_estimator": params}, x_T, steps=5, decode=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
