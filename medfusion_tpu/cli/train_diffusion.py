@@ -69,6 +69,8 @@ def main(argv=None):
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--grain", action="store_true",
                     help="use the grain production loader instead of SimpleDataModule")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable donate_argnums on the train state (debug aid)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
@@ -99,7 +101,9 @@ def main(argv=None):
     unet_params = unet.init(key, z0, t0_arr, t0_arr if p.num_classes else None)["params"]
 
     state = TrainState.create(unet_params, optax.adamw(p.diffusion_lr), use_ema=args.use_ema)
-    step_fn = make_diffusion_train_step(pipe, donate=False)
+    # donate=True buys memory headroom (in-place state update); re-validated
+    # working on the axon tunnel in round 2 (was InvalidArgument in round 1).
+    step_fn = make_diffusion_train_step(pipe, donate=not args.no_donate)
 
     ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
     if args.grain:
