@@ -58,7 +58,7 @@ def latent_stats(args):
 
 def extract_vae(args):
     """GANTrainState ckpt -> standalone VAE TrainState ckpt."""
-    from medfusion_tpu.models.latent_embedders import Discriminator
+    from medfusion_tpu.models.latent_embedders import Discriminator, NLayerDiscriminator
     from medfusion_tpu.train import GANTrainState, TrainState
     from medfusion_tpu.train.adversarial import init_discriminators
 
@@ -67,7 +67,9 @@ def extract_vae(args):
     vae = build_vae(p)
     x0 = np.zeros((1, p.image_size, p.image_size, p.in_channels), np.float32)
     vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
-    disc = Discriminator(spatial_dims=2)
+    disc = (NLayerDiscriminator(spatial_dims=2)
+            if getattr(args, "disc", "conv") == "patch"
+            else Discriminator(spatial_dims=2))
     shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
               for i in range(p.ae_deep_supervision + 1)]
     template = GANTrainState.create(
@@ -142,6 +144,10 @@ def main(argv=None):
         s.add_argument("--n", type=int, default=8)
         s.add_argument("--steps", type=int, default=25)
         s.add_argument("--seed", type=int, default=0)
+        if name == "extract-vae":
+            s.add_argument("--disc", choices=["conv", "patch"], default="conv",
+                           help="discriminator flavor the GAN checkpoint was "
+                                "trained with (must match train_autoencoder --disc)")
     args = ap.parse_args(argv)
     if args.cmd == "export-gif" and args.out == "results/helpers":
         args.out = "results/helpers/trajectory.gif"

@@ -57,6 +57,7 @@ class DemoState:
         self._cache = {}
         self._images = OrderedDict()
         self._lock = threading.Lock()
+        self._inflight = {}
 
     def pipeline(self, preset_name):
         with self._lock:
@@ -67,26 +68,40 @@ class DemoState:
             return self._cache[preset_name]
 
     def images_for(self, preset, n, steps, guidance, cond_val, seed):
-        """uint8 [n, H, W, C] for the request key; sampled once, LRU-cached."""
+        """uint8 [n, H, W, C] for the request key; sampled once, LRU-cached.
+        Concurrent requests for the same key (e.g. the n parallel /img
+        fetches of one page) deduplicate onto a single sampling run."""
         key = (preset, n, steps, guidance, cond_val, seed)
-        with self._lock:
-            if key in self._images:
+        while True:
+            with self._lock:
+                if key in self._images:
+                    self._images.move_to_end(key)
+                    return self._images[key]
+                event = self._inflight.get(key)
+                if event is None:
+                    event = self._inflight[key] = threading.Event()
+                    break  # this thread computes
+            event.wait(timeout=600)  # another thread is sampling this key
+
+        try:
+            p, pipe, params = self.pipeline(preset)
+            cond = jnp.full((n,), cond_val, jnp.int32) if p.num_classes else None
+            imgs = pipe.sample(
+                params, jax.random.PRNGKey(seed), n, p.latent_shape,
+                condition=cond, steps=min(steps, p.timesteps), use_ddim=True,
+                guidance_scale=guidance if cond is not None else 1.0,
+            )
+            arr = ((np.asarray(imgs).clip(-1, 1) + 1) * 127.5).astype(np.uint8)
+            with self._lock:
+                self._images[key] = arr
                 self._images.move_to_end(key)
-                return self._images[key]
-        p, pipe, params = self.pipeline(preset)
-        cond = jnp.full((n,), cond_val, jnp.int32) if p.num_classes else None
-        imgs = pipe.sample(
-            params, jax.random.PRNGKey(seed), n, p.latent_shape,
-            condition=cond, steps=min(steps, p.timesteps), use_ddim=True,
-            guidance_scale=guidance if cond is not None else 1.0,
-        )
-        arr = ((np.asarray(imgs).clip(-1, 1) + 1) * 127.5).astype(np.uint8)
-        with self._lock:
-            self._images[key] = arr
-            self._images.move_to_end(key)
-            while len(self._images) > self._MAX_BATCHES:
-                self._images.popitem(last=False)
-        return arr
+                while len(self._images) > self._MAX_BATCHES:
+                    self._images.popitem(last=False)
+            return arr
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            event.set()
 
 
 def make_handler(state: DemoState):

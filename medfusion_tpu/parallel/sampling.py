@@ -58,11 +58,22 @@ def make_sharded_sampler(
             un_cond=un_cond, eta=eta, decode=decode,
         )
 
+    out_sh = batch_sharding(mesh, 1 + len(img_size))
     jitted = jax.jit(
         _sample,
         static_argnames=("num_samples",),
         in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)),
-        out_shardings=batch_sharding(mesh, 1 + len(img_size)),
+        out_shardings=out_sh,
+    )
+    # un_cond=None must stay None (null embedding via cond_mask=0), NOT a
+    # zeros label — a label-0 negative changes CFG semantics vs the
+    # single-chip pipeline paths.
+    jitted_nouc = jax.jit(
+        lambda params, rng, condition, num_samples: _sample(
+            params, rng, condition, None, num_samples),
+        static_argnames=("num_samples",),
+        in_shardings=(replicated(mesh), replicated(mesh), batch_sharding(mesh)),
+        out_shardings=out_sh,
     )
     plain = jax.jit(_sample, static_argnames=("num_samples",))
 
@@ -73,7 +84,7 @@ def make_sharded_sampler(
             # replicated by default; output constraint inside still shards).
             return plain(params, rng, None, None, num_samples)
         if un_cond is None:
-            un_cond = jnp.zeros_like(condition)
+            return jitted_nouc(params, rng, condition, num_samples)
         return jitted(params, rng, condition, un_cond, num_samples)
 
     return sample_fn

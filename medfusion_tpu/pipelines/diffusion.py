@@ -366,9 +366,13 @@ class DiffusionPipeline:
         formulation; ``rng`` is unused (deterministic) and accepted for API
         symmetry.
         """
+        assert not self.use_self_conditioning, "dpmpp sampler: self-cond unsupported"
         sched = self.scheduler
         n = sched.timesteps if steps is None else steps
-        assert n >= 2, "DPM-Solver++(2M) needs at least 2 steps"
+        assert 2 <= n <= sched.timesteps, (
+            f"DPM-Solver++(2M) needs 2 <= steps <= T={sched.timesteps}; a grid "
+            f"denser than T duplicates timesteps (h=0 -> NaN in the 2M update)"
+        )
         ts = sched.ddim_timesteps(n)  # ascending [0 .. T-1], length n
         ts_rev = ts[::-1]
         b = x_t.shape[0]

@@ -100,36 +100,44 @@ class AdversarialTrainer:
         leaf = ae_params[name]["conv"]["conv"]
         return leaf["kernel"], leaf.get("bias", 0.0)
 
-    def _disc_apply(self, disc_params, disc_stats, depth: int, x, train: bool = True):
+    def _disc_apply(self, disc_params, disc_stats, depth: int, x,
+                    train: bool = True, rng=None):
         """Apply the depth-th discriminator. ``train=True`` matches the
         reference (Lightning keeps the module in train mode, so BatchNorm
-        normalizes by batch statistics). Returns ``(logits, new_stats)`` where
-        ``new_stats`` is the level's updated batch_stats dict (None when the
-        discriminator has no BatchNorm)."""
+        normalizes by batch statistics). ``rng`` feeds the dropout stream for
+        discriminators configured with dropout. Returns ``(logits, new_stats)``
+        where ``new_stats`` is the level's updated batch_stats dict (None when
+        the discriminator has no BatchNorm)."""
         name = f"disc_{depth}"
         variables = {"params": disc_params[name]}
         stats = (disc_stats or {}).get(name)
         if stats:
             variables["batch_stats"] = stats
+        rngs = None if rng is None else {"dropout": rng}
         if not train:
             return self.discriminator.apply(variables, x, train=False), stats
         logits, updates = self.discriminator.apply(
-            variables, x, train=True, mutable=["batch_stats"]
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
         )
         return logits, updates.get("batch_stats", stats)
 
     def vae_img_loss(
         self, ae_params, disc_params, disc_stats, perceiver_params, pred, h, target,
-        step, depth: int
-    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Reference ``vae_img_loss`` (latent_embedders.py:943-961)."""
+        step, depth: int, rng=None
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Any]:
+        """Reference ``vae_img_loss`` (latent_embedders.py:943-961).
+
+        Returns ``(loss, metrics, level_stats)``; ``level_stats`` is this
+        level's BatchNorm running-stat update from the generator-step D(pred)
+        forward (the reference's train-mode call at :949 also advances the
+        buffers), or None when depth >= 2 / no BatchNorm."""
         at = self.ae_trainer
         # rec_loss with no verticals — matches `self.vqvae.rec_loss(pred, [], target)`
         # (:946) in either flavor (vae: sum/B, vqvae: mean).
         rec = at.rec_loss(perceiver_params, pred, [], target)
         metrics: Dict[str, jnp.ndarray] = {}
         if depth >= 2:
-            return rec, metrics
+            return rec, metrics, None
 
         kernel, bias = self._head_leaves(ae_params, depth)
         h_const = jax.lax.stop_gradient(h)
@@ -137,11 +145,10 @@ class AdversarialTrainer:
         def f(w):
             p = _conv_head(h_const, w, bias)
             rec_w = at.rec_loss(perceiver_params, p, [], target)
-            logits, _ = self._disc_apply(disc_params, disc_stats, depth, p)
-            gan_w = -jnp.sum(logits)
-            return rec_w, gan_w
+            logits, s_new = self._disc_apply(disc_params, disc_stats, depth, p, rng=rng)
+            return (rec_w, -jnp.sum(logits)), s_new
 
-        (_, gan_loss), vjp = jax.vjp(f, kernel)
+        ((_, gan_loss), vjp, level_stats) = jax.vjp(f, kernel, has_aux=True)
         (g_rec,) = vjp((jnp.ones(()), jnp.zeros(())))
         (g_gan,) = vjp((jnp.zeros(()), jnp.ones(())))
         lam = jnp.linalg.norm(g_rec.ravel()) / (jnp.linalg.norm(g_gan.ravel()) + self.lambda_eps)
@@ -151,7 +158,7 @@ class AdversarialTrainer:
         gan_term = self.gan_loss_weight * lam * gan_loss * active
         metrics[f"gan_loss_{depth}"] = gan_term
         metrics[f"lambda_{depth}"] = lam
-        return rec + gan_term, metrics
+        return rec + gan_term, metrics, level_stats
 
     def generator_loss(self, ae_params, disc_params, disc_stats, perceiver_params,
                        batch, rng, step):
@@ -164,15 +171,32 @@ class AdversarialTrainer:
         )
         disc_sg = jax.lax.stop_gradient(disc_params)
         stats_sg = jax.lax.stop_gradient(disc_stats)
-        img_loss, metrics = self.vae_img_loss(
-            ae_params, disc_sg, stats_sg, perceiver_params, pred, h_top, x, step, 0
+        new_stats = dict(disc_stats or {})
+        k_disc = jax.random.fold_in(rng, 2)
+
+        def record(depth, level_stats):
+            # Stats advance only while the GAN is active (the reference never
+            # calls D before start_gan_train_step, :948).
+            if level_stats is None:
+                return
+            name = f"disc_{depth}"
+            new_stats[name] = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(step > self.start_gan_train_step, n, o),
+                jax.lax.stop_gradient(level_stats), new_stats[name],
+            )
+
+        img_loss, metrics, s0 = self.vae_img_loss(
+            ae_params, disc_sg, stats_sg, perceiver_params, pred, h_top, x, step, 0,
+            rng=jax.random.fold_in(k_disc, 0),
         )
+        record(0, s0)
         for i, (pred_i, h_i) in enumerate(zip(pred_vertical, h_vers)):
             target_i = interpolate_area(x, pred_i.shape[1:-1])
-            li, mi = self.vae_img_loss(
+            li, mi, si = self.vae_img_loss(
                 ae_params, disc_sg, stats_sg, perceiver_params, pred_i, h_i, target_i,
-                step, i + 1
+                step, i + 1, rng=jax.random.fold_in(k_disc, i + 1),
             )
+            record(i + 1, si)
             img_loss = img_loss + li
             metrics.update(mi)
         loss = img_loss + self.ae_trainer.embedding_loss_weight * emb_loss
@@ -180,25 +204,31 @@ class AdversarialTrainer:
             img_loss=img_loss, emb_loss=emb_loss, loss_0=loss,
             L1=jnp.mean(jnp.abs(pred - x)), L2=jnp.mean((pred - x) ** 2),
         )
-        return loss, (metrics, pred, pred_vertical)
+        return loss, (metrics, pred, pred_vertical, new_stats)
 
-    def discriminator_loss(self, disc_params, disc_stats, batch, pred, pred_vertical, step):
+    def discriminator_loss(self, disc_params, disc_stats, batch, pred, pred_vertical,
+                           step, rng=None):
         """Reference ``gan_img_loss`` summed over levels (:963-973, 1005-1013).
 
         Returns ``(loss, (metrics, new_stats))``. BatchNorm running statistics
         (NLayerDiscriminator) are threaded real-then-fake per level (matching
-        torch's sequential calls) and frozen while the GAN is inactive — the
-        reference never calls D before ``start_gan_train_step``."""
+        torch's sequential calls; the input ``disc_stats`` should already carry
+        the generator step's D(pred) update) and frozen while the GAN is
+        inactive — the reference never calls D before ``start_gan_train_step``."""
         x = batch["source"]
         active = (step > self.start_gan_train_step).astype(x.dtype)
         stats = dict(disc_stats or {})
+        k = rng if rng is not None else jax.random.PRNGKey(0)
 
         def one(depth, p, t):
-            logits_real, s = self._disc_apply(disc_params, stats, depth, t)
+            logits_real, s = self._disc_apply(
+                disc_params, stats, depth, t, rng=jax.random.fold_in(k, 2 * depth)
+            )
             if s is not None:
                 stats[f"disc_{depth}"] = s
             logits_fake, s = self._disc_apply(
-                disc_params, stats, depth, jax.lax.stop_gradient(p)
+                disc_params, stats, depth, jax.lax.stop_gradient(p),
+                rng=jax.random.fold_in(k, 2 * depth + 1),
             )
             if s is not None:
                 stats[f"disc_{depth}"] = s
@@ -227,16 +257,19 @@ def make_adversarial_train_step(trainer: AdversarialTrainer, donate: bool = Fals
     running generator then discriminator update on the same batch."""
 
     def step_fn(state: GANTrainState, perceiver_params, batch, rng):
-        (g_loss, (g_metrics, pred, pred_ver)), g_grads = jax.value_and_grad(
+        (g_loss, (g_metrics, pred, pred_ver, gen_stats)), g_grads = jax.value_and_grad(
             trainer.generator_loss, has_aux=True
         )(state.gen.params, state.disc.params, state.disc_stats, perceiver_params,
           batch, rng, state.step)
         new_gen = state.gen.apply_gradients(g_grads)
 
+        # disc step sees the generator step's stat updates first (torch call
+        # order: gen-step D(pred), then disc-step D(real), D(fake)).
         (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
             trainer.discriminator_loss, has_aux=True
-        )(state.disc.params, state.disc_stats, batch, jax.lax.stop_gradient(pred),
-          jax.lax.stop_gradient(pred_ver), state.step + 1)
+        )(state.disc.params, gen_stats, batch, jax.lax.stop_gradient(pred),
+          jax.lax.stop_gradient(pred_ver), state.step + 1,
+          jax.random.fold_in(rng, 3))
         new_disc = state.disc.apply_gradients(d_grads)
 
         metrics = {**g_metrics, **d_metrics, "loss": g_loss}

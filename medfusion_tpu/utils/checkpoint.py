@@ -46,14 +46,55 @@ def save_checkpoint(ckpt_dir, state: Any, step: int, config: Optional[Dict] = No
         (ckpt_dir / CONFIG_FILE).write_text(json.dumps(config, indent=2, default=str))
 
 
+def _path_str(keypath) -> str:
+    """Key-path -> 'a/b/c' across DictKey (.key) and GetAttrKey (.name)."""
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "name", p))) for p in keypath
+    )
+
+
 def restore_checkpoint(ckpt_dir, template: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure/shardings of ``template`` (an abstract or
-    concrete TrainState pytree)."""
+    concrete TrainState pytree).
+
+    Forward-compatible: when the template has FIELDS the checkpoint predates
+    (e.g. ``GANTrainState.disc_stats`` added in round 2), the strict restore
+    falls back to a path-wise merge — on-disk leaves load where they exist,
+    new fields keep their template values. Shape mismatches still raise
+    (that is a wrong template, not an old checkpoint)."""
     with _manager(Path(ckpt_dir)) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-        return mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except ValueError:
+            raw = mgr.restore(step)  # as-saved nested-dict tree
+
+    raw_flat = {
+        _path_str(kp): v for kp, v in jax.tree_util.tree_flatten_with_path(raw)[0]
+    }
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    leaves, new_fields = [], []
+    for kp, tv in flat:
+        path = _path_str(kp)
+        rv = raw_flat.get(path)
+        if rv is None:
+            new_fields.append(path)
+            leaves.append(tv)
+        elif np.shape(rv) != np.shape(tv):
+            raise ValueError(
+                f"checkpoint/template shape mismatch at {path}: "
+                f"{np.shape(rv)} vs {np.shape(tv)} — wrong model config?"
+            )
+        else:
+            leaves.append(rv)
+    if new_fields:
+        print(f"restore_checkpoint: kept template values for fields not in the "
+              f"checkpoint: {new_fields[:5]}{'...' if len(new_fields) > 5 else ''}")
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves
+    )
 
 
 def latest_step(ckpt_dir) -> Optional[int]:

@@ -38,6 +38,26 @@ def test_checkpoint_roundtrip_and_best_pointer(tmp_path):
     assert int(best.step) == 9
 
 
+def test_restore_tolerates_new_template_fields(tmp_path):
+    """Forward compat: restoring a checkpoint saved BEFORE a pytree field was
+    added (e.g. GANTrainState.disc_stats, round 2) keeps the template's value
+    for the new field instead of raising; genuine shape mismatches still
+    raise (wrong model config)."""
+    old = {"gen": {"kernel": jnp.ones((3, 4))}, "step": jnp.asarray(5)}
+    C.save_checkpoint(tmp_path, old, 5)
+    template = {"gen": {"kernel": jnp.zeros((3, 4))}, "step": jnp.asarray(0),
+                "disc_stats": {"disc_0": {"mean": jnp.full((4,), 7.0)}}}
+    restored = C.restore_checkpoint(tmp_path, template)
+    np.testing.assert_array_equal(np.asarray(restored["gen"]["kernel"]), 1.0)
+    assert int(restored["step"]) == 5
+    np.testing.assert_array_equal(  # new field keeps template default
+        np.asarray(restored["disc_stats"]["disc_0"]["mean"]), 7.0)
+
+    bad = {"gen": {"kernel": jnp.zeros((9, 9))}, "step": jnp.asarray(0)}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        C.restore_checkpoint(tmp_path, bad)
+
+
 def test_filter_weights_partial_loading():
     target = {"a": {"kernel": jnp.zeros((3, 4))}, "b": {"kernel": jnp.zeros((2, 2))}}
     source = {"a": {"kernel": jnp.ones((3, 4))}, "b": {"kernel": jnp.ones((5, 5))}}

@@ -156,6 +156,28 @@ def test_adversarial_step_with_patchgan_batchnorm():
     assert np.isfinite(float(metrics["gan_loss_0"]))
 
 
+def test_adversarial_step_with_dropout_discriminator():
+    """Discriminators configured with dropout need a 'dropout' RNG stream in
+    train mode — the step must thread it (regression: train-mode apply without
+    rngs raised 'could not find PRNG key dropout')."""
+    vae = _tiny_vae()
+    disc = Discriminator(spatial_dims=2, hid_chs=(4, 8), kernel_sizes=(3, 3),
+                         strides=(1, 2), dropout=0.25,
+                         norm_name=("GROUP", {"num_groups": 2, "affine": True}))
+    ae_trainer = AutoencoderTrainer(autoencoder=vae, flavor="vae", perceiver=None)
+    trainer = AdversarialTrainer(ae_trainer=ae_trainer, discriminator=disc,
+                                 n_discriminators=2, start_gan_train_step=0)
+    x = jnp.asarray(np.random.default_rng(9).uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    ae_params = vae.init({"params": KEY, "sample": KEY}, x)["params"]
+    disc_vars = init_discriminators(disc, KEY, [(1, 16, 16, 1), (1, 8, 8, 1)])
+    state = GANTrainState.create(ae_params, disc_vars, optax.adam(1e-4), optax.adam(1e-4))
+    step = make_adversarial_train_step(trainer, donate=False)
+    for i in range(2):
+        state, metrics = step(state, None, {"source": x}, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_1"]))
+
+
 def test_lambda_conv_head_matches_full_module_grad():
     """The 1x1-conv shortcut used for the adaptive-lambda vjp must reproduce
     gradients of the REAL module's out head w.r.t. its kernel."""
