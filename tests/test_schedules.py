@@ -168,3 +168,42 @@ def test_forward_diffusion_statistics():
     xt = np.asarray(S.q_sample(ours, jnp.asarray(x0), jnp.asarray(t), jnp.asarray(xT)))
     assert abs(xt.mean()) < 0.05
     assert abs(xt.std() - 1.0) < 0.05
+
+
+def test_forward_diffusion_statistics_and_qq():
+    """Reference test intent made assertive (tests/noise_schedulers/test_data.py
+    :73-117 prints per-t moments/histograms; test_data_qq.py eyeballs
+    QQ-plots): q(x_t | x_0) must have mean sqrt(abar_t) x_0 and variance
+    (1 - abar_t), and at t=T-1 the marginal must be ~N(0,1) — checked with a
+    Kolmogorov-Smirnov distance instead of a plot."""
+    import math
+
+    from medfusion_tpu.core import schedules as S
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+
+    T = 1000
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
+    )
+    rng = np.random.default_rng(11)
+    n = 50_000
+    x0_val = 0.7
+    x0 = jnp.full((n, 1, 1, 1), x0_val, jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((n, 1, 1, 1)).astype(np.float32))
+
+    # mid-t conditional moments
+    for t_scalar in (100, 500, 900):
+        t = jnp.full((n,), t_scalar, jnp.int32)
+        x_t = np.asarray(S.q_sample(sched, x0, t, eps)).ravel()
+        abar = float(sched.alphas_cumprod[t_scalar])
+        np.testing.assert_allclose(x_t.mean(), math.sqrt(abar) * x0_val, atol=0.02)
+        np.testing.assert_allclose(x_t.std(), math.sqrt(1 - abar), atol=0.02)
+
+    # t = T-1: marginal ~ N(0,1) for bounded x0 (KS distance vs normal CDF;
+    # 5% critical value at n=50k is ~0.006 — 0.015 leaves margin)
+    t = jnp.full((n,), T - 1, jnp.int32)
+    x_t = np.sort(np.asarray(S.q_sample(sched, x0, t, eps)).ravel())
+    ecdf = (np.arange(1, n + 1) - 0.5) / n
+    phi = 0.5 * (1.0 + np.vectorize(math.erf)(x_t / math.sqrt(2.0)))
+    ks = float(np.max(np.abs(ecdf - phi)))
+    assert ks < 0.015, f"x_(T-1) not ~N(0,1): KS distance {ks:.4f}"
