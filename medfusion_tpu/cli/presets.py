@@ -81,20 +81,46 @@ def build_vae(p: Preset, kind: str = "vae"):
     return VAE(**common)
 
 
-def build_unet(p: Preset):
-    from medfusion_tpu.models.unet import UNet
-
+def build_unet(p: Preset, estimator: str = "unet"):
+    """Noise estimator by family: 'unet' (reference unet2), 'unet_legacy'
+    (reference estimators/unet.py), or 'openai' (the SD/ADM UNet,
+    reference external/stable_diffusion/unet_openai.py)."""
     n = len(p.unet_hid_chs)
+    if estimator == "openai":
+        from medfusion_tpu.models.unet_openai import UNetOpenAI
+
+        mc = p.unet_hid_chs[0]
+        assert all(c % mc == 0 for c in p.unet_hid_chs), (
+            "openai estimator needs hid_chs that are multiples of hid_chs[0]")
+        groups = 32 if min(p.unet_hid_chs) >= 32 else min(p.unet_hid_chs) // 2
+        return UNetOpenAI(
+            in_channels=p.emb_channels, model_channels=mc,
+            out_channels=p.emb_channels,
+            channel_mult=tuple(c // mc for c in p.unet_hid_chs),
+            num_res_blocks=2, attention_resolutions=(),
+            num_classes=p.num_classes, num_heads=8,
+            use_scale_shift_norm=True, resblock_updown=True,
+            norm_groups=groups,
+        )
     n_groups = 32 if min(p.unet_hid_chs) >= 32 else min(p.unet_hid_chs) // 2
-    return UNet(
+    common = dict(
         in_ch=p.emb_channels, out_ch=p.emb_channels,
         hid_chs=p.unet_hid_chs, kernel_sizes=(3,) * n,
         strides=(1,) + (2,) * (n - 1),
         time_emb_dim=p.unet_hid_chs[-1],
         cond_emb_num_classes=p.num_classes,
-        deep_supervision=0, use_res_block=True, use_attention="none",
+        deep_supervision=0, use_attention="none",
         norm_name=("GROUP", {"num_groups": n_groups, "affine": True}),
     )
+    if estimator == "unet_legacy":
+        from medfusion_tpu.models.unet_legacy import UNetLegacy
+
+        return UNetLegacy(**common)
+    if estimator != "unet":
+        raise ValueError(f"unknown estimator {estimator!r}")
+    from medfusion_tpu.models.unet import UNet
+
+    return UNet(use_res_block=True, **common)
 
 
 def build_scheduler(p: Preset):

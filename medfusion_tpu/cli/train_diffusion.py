@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
+    ap.add_argument("--estimator", default="unet",
+                    choices=("unet", "unet_legacy", "openai"),
+                    help="noise-estimator family (openai = SD/ADM UNet)")
     ap.add_argument("--grain", action="store_true",
                     help="use the grain production loader instead of SimpleDataModule")
     ap.add_argument("--no-donate", action="store_true",
@@ -82,9 +85,9 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     vae = build_vae(p)
-    unet = build_unet(p)
-    if args.remat:
-        unet = unet.replace(remat=True) if hasattr(unet, "replace") else unet
+    unet = build_unet(p, args.estimator)
+    if args.remat and hasattr(unet, "remat"):
+        unet = unet.replace(remat=True)
     sched = build_scheduler(p)
     pipe = DiffusionPipeline(
         scheduler=sched, noise_estimator=unet, latent_embedder=vae,

@@ -15,3 +15,7 @@ from medfusion_tpu.models.latent_embedders import (  # noqa: F401
     diagonal_gaussian,
 )
 from medfusion_tpu.models.unet import UNet  # noqa: F401
+from medfusion_tpu.models.unet_openai import (  # noqa: F401
+    UNetOpenAI,
+    convert_openai_state_dict,
+)
