@@ -3,6 +3,7 @@ where the TPU rebuild exceeds it)."""
 
 from medfusion_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    fsdp_partition_spec,
     make_mesh,
     model_partition_spec,
     replicated,

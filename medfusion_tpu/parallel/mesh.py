@@ -77,12 +77,68 @@ def model_partition_spec(params: Any, mesh: Mesh, min_shard_dim: int = 256) -> A
     return jax.tree_util.tree_map(spec, params)
 
 
-def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = False) -> Any:
-    """Device-put params: replicated, or model-sharded per
-    :func:`model_partition_spec` when ``tensor_parallel``."""
-    if not tensor_parallel:
+def fsdp_partition_spec(
+    params: Any,
+    mesh: Mesh,
+    axis: str = "data",
+    min_size: int = 2 ** 14,
+    tp_specs: Any = None,
+) -> Any:
+    """ZeRO-3-style fully-sharded parameter specs.
+
+    Each weight is *stored* sharded over ``axis``; under jit, GSPMD
+    all-gathers a weight just before use and reduce-scatters its gradient —
+    the JAX-native equivalent of FSDP/ZeRO-3, with the collectives compiled
+    into the step rather than hand-written (the reference has no distributed
+    training at all, SURVEY.md §2.4).
+
+    Rule: shard the largest dim divisible by the axis size, skipping any dim
+    already taken by ``tp_specs`` (so fsdp composes with tensor parallelism
+    into a 2-D param sharding); leaves with fewer than ``min_size`` elements
+    stay replicated — gathering tiny scales/biases costs more than it saves.
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf, tp=P()):
+        if n <= 1 or np.size(leaf) < min_size:
+            return tp
+        dims = list(tp) + [None] * (np.ndim(leaf) - len(tp))
+        best, best_size = None, 0
+        for i, d in enumerate(np.shape(leaf)):
+            if dims[i] is None and d % n == 0 and d >= best_size and d > 1:
+                best, best_size = i, d
+        if best is None:
+            return tp
+        dims[best] = axis
+        while dims and dims[-1] is None:
+            dims.pop()
+        return P(*dims)
+
+    if tp_specs is None:
+        return jax.tree_util.tree_map(spec, params)
+    # two-tree map keyed on the params treedef: P specs are leaves here
+    return jax.tree_util.tree_map(spec, params, tp_specs)
+
+
+def shard_params(
+    params: Any,
+    mesh: Mesh,
+    tensor_parallel: bool = False,
+    fsdp: bool = False,
+    min_shard_dim: int = 256,
+    fsdp_min_size: int = 2 ** 14,
+) -> Any:
+    """Device-put params: replicated by default; 'model'-sharded per
+    :func:`model_partition_spec` when ``tensor_parallel``; additionally
+    'data'-sharded per :func:`fsdp_partition_spec` when ``fsdp``."""
+    if not (tensor_parallel or fsdp):
         return jax.device_put(params, replicated(mesh))
-    specs = model_partition_spec(params, mesh)
+    specs = (model_partition_spec(params, mesh, min_shard_dim=min_shard_dim)
+             if tensor_parallel
+             else jax.tree_util.tree_map(lambda _: P(), params))
+    if fsdp:
+        specs = fsdp_partition_spec(params, mesh, min_size=fsdp_min_size,
+                                    tp_specs=specs)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -12,6 +12,7 @@ from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
 from medfusion_tpu.models.unet import UNet
 from medfusion_tpu.parallel import (
     batch_sharding,
+    fsdp_partition_spec,
     make_mesh,
     make_sharded_sampler,
     model_partition_spec,
@@ -79,6 +80,59 @@ def test_tensor_parallel_partition_and_forward():
     # matches the unsharded forward
     y_ref, _ = pipe.noise_estimator.apply({"params": params}, x, jnp.zeros((4,), jnp.int32))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fsdp_step_matches_single_device():
+    """ZeRO-3-style param sharding: weights stored 'data'-sharded, GSPMD
+    all-gathers on use / reduce-scatters grads — same math as one device."""
+    pipe, params, x = _setup(8)
+    step = make_diffusion_train_step(pipe, donate=False)
+    rng = jax.random.PRNGKey(1)
+    batch = {"source": x}
+
+    state_single = TrainState.create(params, optax.adamw(1e-3))
+    state_single, m_single = step(state_single, None, batch, rng)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    specs = fsdp_partition_spec(params, mesh, min_size=16)
+    flat_specs = jax.tree_util.tree_leaves(specs, is_leaf=lambda s: isinstance(s, P))
+    assert any("data" in s for s in flat_specs), "no leaf got an fsdp spec"
+    params_fsdp = shard_params(params, mesh, fsdp=True, fsdp_min_size=16)
+    state_fsdp = TrainState.create(params_fsdp, optax.adamw(1e-3))
+    batch_dp = shard_batch(batch, mesh)
+    state_fsdp, m_fsdp = step(state_fsdp, None, batch_dp, rng)
+
+    np.testing.assert_allclose(float(m_fsdp["loss"]), float(m_single["loss"]), rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_single.params),
+                      jax.tree_util.tree_leaves(state_fsdp.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
+
+
+def test_fsdp_composes_with_tensor_parallel():
+    """fsdp('data') + tp('model') on a 4x2 mesh -> 2-D param shardings; the
+    step still matches the unsharded one."""
+    pipe, params, x = _setup(4)
+    step = make_diffusion_train_step(pipe, donate=False)
+    rng = jax.random.PRNGKey(2)
+    batch = {"source": x}
+
+    state_single = TrainState.create(params, optax.adamw(1e-3))
+    state_single, _ = step(state_single, None, batch, rng)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp = model_partition_spec(params, mesh, min_shard_dim=16)
+    specs = fsdp_partition_spec(params, mesh, min_size=16, tp_specs=tp)
+    flat = jax.tree_util.tree_leaves(specs, is_leaf=lambda s: isinstance(s, P))
+    assert any(("data" in s and "model" in s) for s in flat), \
+        "no leaf got a combined fsdp+tp 2-D spec"
+    params_2d = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs)
+    state_2d = TrainState.create(params_2d, optax.adamw(1e-3))
+    state_2d, _ = step(state_2d, None, shard_batch(batch, mesh), rng)
+
+    for la, lb in zip(jax.tree_util.tree_leaves(state_single.params),
+                      jax.tree_util.tree_leaves(state_2d.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_bulk_sampler():
