@@ -83,8 +83,9 @@ def build_vae(p: Preset, kind: str = "vae"):
 
 def build_unet(p: Preset, estimator: str = "unet"):
     """Noise estimator by family: 'unet' (reference unet2), 'unet_legacy'
-    (reference estimators/unet.py), or 'openai' (the SD/ADM UNet,
-    reference external/stable_diffusion/unet_openai.py)."""
+    (reference estimators/unet.py), 'openai' (the SD/ADM UNet, reference
+    external/stable_diffusion/unet_openai.py), or 'lucidrains' (the compact
+    DDPM UNet, reference external/unet_lucidrains.py — no label cond)."""
     n = len(p.unet_hid_chs)
     if estimator == "openai":
         from medfusion_tpu.models.unet_openai import UNetOpenAI
@@ -101,6 +102,17 @@ def build_unet(p: Preset, estimator: str = "unet"):
             num_classes=p.num_classes, num_heads=8,
             use_scale_shift_norm=True, resblock_updown=True,
             norm_groups=groups,
+        )
+    if estimator == "lucidrains":
+        from medfusion_tpu.models.unet_lucidrains import UNetLucidrains
+
+        mc = p.unet_hid_chs[0]
+        assert all(c % mc == 0 for c in p.unet_hid_chs), (
+            "lucidrains estimator needs hid_chs that are multiples of hid_chs[0]")
+        return UNetLucidrains(
+            dim=mc, dim_mults=tuple(c // mc for c in p.unet_hid_chs),
+            channels=p.emb_channels,
+            resnet_block_groups=8 if mc >= 8 else mc // 2,
         )
     n_groups = 32 if min(p.unet_hid_chs) >= 32 else min(p.unet_hid_chs) // 2
     common = dict(

@@ -68,8 +68,9 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
-                    choices=("unet", "unet_legacy", "openai"),
-                    help="noise-estimator family (openai = SD/ADM UNet)")
+                    choices=("unet", "unet_legacy", "openai", "lucidrains"),
+                    help="noise-estimator family (openai = SD/ADM UNet; "
+                         "lucidrains = compact DDPM UNet, unconditional)")
     ap.add_argument("--grain", action="store_true",
                     help="use the grain production loader instead of SimpleDataModule")
     ap.add_argument("--no-donate", action="store_true",

@@ -15,6 +15,10 @@ from medfusion_tpu.models.latent_embedders import (  # noqa: F401
     diagonal_gaussian,
 )
 from medfusion_tpu.models.unet import UNet  # noqa: F401
+from medfusion_tpu.models.unet_lucidrains import (  # noqa: F401
+    UNetLucidrains,
+    convert_lucidrains_state_dict,
+)
 from medfusion_tpu.models.unet_openai import (  # noqa: F401
     UNetOpenAI,
     convert_openai_state_dict,

@@ -211,7 +211,7 @@ def test_build_unet_estimator_families():
     z = jnp.zeros((2, *p.latent_shape), jnp.float32)
     t = jnp.zeros((2,), jnp.int32)
     cond = jnp.zeros((2,), jnp.int32)
-    for family in ("unet", "unet_legacy", "openai"):
+    for family in ("unet", "unet_legacy", "openai", "lucidrains"):
         model = build_unet(p, family)
         params = model.init(jax.random.PRNGKey(0), z, t, cond)["params"]
         y, y_ver = model.apply({"params": params}, z, t, cond)
