@@ -14,6 +14,11 @@ from medfusion_tpu.models.latent_embedders import (  # noqa: F401
     VectorQuantizer,
     diagonal_gaussian,
 )
+from medfusion_tpu.models.latent_embedders_diffusers import (  # noqa: F401
+    AutoencoderKLDiffusers,
+    VQModelDiffusers,
+    convert_diffusers_vae_state_dict,
+)
 from medfusion_tpu.models.unet import UNet  # noqa: F401
 from medfusion_tpu.models.unet_lucidrains import (  # noqa: F401
     UNetLucidrains,
