@@ -10,4 +10,5 @@ from medfusion_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from medfusion_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from medfusion_tpu.parallel.sampling import make_sharded_sampler  # noqa: F401

@@ -165,3 +165,34 @@ def test_sharded_bulk_sampler_dpmpp_matches_unsharded():
     x_T = jax.random.normal(k_init, (16, 8, 8, 1))
     ref = pipe.denoise_dpmpp({"noise_estimator": params}, x_T, steps=5, decode=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_attention_matches_full_attention():
+    """Sequence-parallel ring attention (tokens sharded over 8 devices,
+    K/V rotated via ppermute with online-softmax merging) is EXACT full
+    attention."""
+    from einops import rearrange
+
+    from medfusion_tpu.nn.attention import compute_attention
+    from medfusion_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    b, heads, n, d = 2, 4, 64, 16
+    rng = np.random.default_rng(0)
+    q, k, v = [jnp.asarray(rng.normal(size=(b, heads, n, d)), jnp.float32)
+               for _ in range(3)]
+    scale = d ** -0.25
+
+    out = ring_attention(q, k, v, mesh, scale=scale, axis="data")
+    assert out.shape == (b, heads, n, d)
+    assert len(out.sharding.device_set) == 8  # stays token-sharded
+
+    # reference: the library's own single-device attention math
+    ref = compute_attention(
+        rearrange(q, "b h n d -> b n (h d)"),
+        rearrange(k, "b h n d -> b n (h d)"),
+        rearrange(v, "b h n d -> b n (h d)"),
+        num_heads=heads, scale=scale)
+    ref = rearrange(ref, "b n (h d) -> b h n d", h=heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
