@@ -41,9 +41,12 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     qs = (q * scale).astype(jnp.float32)
-    m0 = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)  # [B, H, n_loc]
-    l0 = jnp.zeros(q.shape[:-1], jnp.float32)
-    acc0 = jnp.zeros(q.shape, jnp.float32)
+    # derive the accumulators from q so they carry its device-varying type
+    # (shard_map vma typing: constants are 'replicated', loop carries must
+    # round-trip unchanged)
+    acc0 = jnp.zeros_like(qs)  # [B, H, n_loc, D]
+    l0 = jnp.zeros_like(qs[..., 0])  # [B, H, n_loc]
+    m0 = jnp.zeros_like(qs[..., 0]) - jnp.inf
 
     def body(_, carry):
         k_cur, v_cur, m, l, acc = carry
@@ -71,13 +74,13 @@ def ring_attention(q, k, v, mesh: Mesh, scale: float, axis: str = "data"):
     attention_blocks.py:35-43). Returns [B, H, N, D], token-sharded.
     """
     spec = P(None, None, axis, None)
-    fn = shard_map(
-        partial(_ring_attention_local, scale=scale, axis_name=axis),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_rep=False,
-    )
+    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    try:
+        fn = shard_map(partial(_ring_attention_local, scale=scale,
+                               axis_name=axis), **kwargs)
+    except TypeError:  # pragma: no cover - older jax requires check_rep=False
+        fn = shard_map(partial(_ring_attention_local, scale=scale,
+                               axis_name=axis), check_rep=False, **kwargs)
     q = jax.device_put(q, NamedSharding(mesh, spec))
     k = jax.device_put(k, NamedSharding(mesh, spec))
     v = jax.device_put(v, NamedSharding(mesh, spec))
