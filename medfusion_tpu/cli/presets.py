@@ -64,7 +64,26 @@ PRESETS = {
 
 
 def build_vae(p: Preset, kind: str = "vae"):
-    """Latent embedder by kind: 'vae' (KL) or 'vqvae' (codebook)."""
+    """Latent embedder by kind: 'vae' (KL) / 'vqvae' (codebook) from the
+    in-house family, or 'diffusers_kl' / 'diffusers_vq' (the diffusers
+    AutoencoderKL/VQModel family, reference external/diffusers/vae.py)."""
+    if kind in ("diffusers_kl", "diffusers_vq"):
+        from medfusion_tpu.models.latent_embedders_diffusers import (
+            AutoencoderKLDiffusers,
+            VQModelDiffusers,
+        )
+
+        # vae_hid_chs maps to block_out_channels: len = down levels + 1,
+        # same 2^(len-1) total downsampling as the in-house strides
+        groups = 32 if min(p.vae_hid_chs) >= 32 else min(p.vae_hid_chs) // 2
+        common = dict(
+            in_channels=p.in_channels, out_channels=p.in_channels,
+            emb_channels=p.emb_channels, block_out_channels=p.vae_hid_chs,
+            layers_per_block=1, norm_num_groups=groups,
+        )
+        if kind == "diffusers_vq":
+            return VQModelDiffusers(num_embeddings=8192, **common)
+        return AutoencoderKLDiffusers(**common)
     from medfusion_tpu.models.latent_embedders import VAE, VQVAE
 
     n_groups = 8 if min(p.vae_hid_chs) >= 8 else min(p.vae_hid_chs)

@@ -43,7 +43,11 @@ def main(argv=None):
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--out", default="runs/ae")
     ap.add_argument("--gan", action="store_true", help="adversarial (VAEGAN/VQGAN) training")
-    ap.add_argument("--model", choices=["vae", "vqvae"], default="vae")
+    ap.add_argument("--model",
+                    choices=["vae", "vqvae", "diffusers_kl", "diffusers_vq"],
+                    default="vae",
+                    help="latent-embedder family (diffusers_* = the "
+                         "AutoencoderKL/VQModel architecture)")
     ap.add_argument("--max-steps", type=int, default=100000)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
@@ -70,13 +74,17 @@ def main(argv=None):
     x0 = np.zeros((batch_size, p.image_size, p.image_size, p.in_channels), np.float32)
     vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
 
-    # VQVAE: commitment loss weight 1.0, pyramid-mean rec reduction
+    # VQ flavors: commitment loss weight 1.0, pyramid-mean rec reduction
     # (latent_embedders.py:210-211 vs :637-638)
+    quantized = args.model in ("vqvae", "diffusers_vq")
     ae_trainer = AutoencoderTrainer(
-        autoencoder=vae, flavor=args.model, pixel_loss=p.ae_loss, perceiver=None,
-        embedding_loss_weight=(1.0 if args.model == "vqvae"
-                               else p.ae_embedding_loss_weight),
+        autoencoder=vae, flavor="vqvae" if quantized else "vae",
+        pixel_loss=p.ae_loss, perceiver=None,
+        embedding_loss_weight=(1.0 if quantized else p.ae_embedding_loss_weight),
     )
+    if args.gan and args.model.startswith("diffusers"):
+        ap.error("--gan needs the in-house family (adaptive lambda reads its "
+                 "decoder hiddens); use --model vae|vqvae")
     if args.gan:
         if args.disc == "patch":
             from medfusion_tpu.models.latent_embedders import NLayerDiscriminator
@@ -121,7 +129,7 @@ def main(argv=None):
                 C.save_checkpoint(ckpt_dir, state, step,
                                   config=dataclasses.asdict(p), keep_top_k=5)
                 C.save_best_checkpoint(ckpt_dir, step, float(metrics["L1"]))
-            if step % args.sample_every == 0:
+            if args.sample_every and step % args.sample_every == 0:
                 params = state.gen.params if args.gan else state.params
                 pred, _, _ = vae.apply({"params": params}, batch["source"],
                                        rngs={"sample": jax.random.fold_in(jax.random.fold_in(key, 1_000_003), step)})
