@@ -21,9 +21,9 @@ Deviations (documented, not bugs carried over):
 * The vendored reference force-disables class conditioning
   (``condition = None`` at unet_openai.py:720) which makes every
   class-conditional config crash on its own assert; here labels work.
-* ``use_spatial_transformer`` cross-attention is not duplicated — that
-  capability lives in :class:`medfusion_tpu.nn.attention.SpatialTransformer`
-  (the in-house UNet's ``use_attention='spatial'``).
+* ``use_spatial_transformer`` cross-attention IS supported (context via the
+  ``context`` kwarg), rebuilt from stable_diffusion/attention.py:113-260
+  (CrossAttention, GEGLU FeedForward, SpatialTransformer).
 
 Weight parity: :func:`convert_openai_state_dict` maps the reference torch
 ``state_dict`` onto this module's params; exact-forward tests live in
@@ -250,6 +250,134 @@ class SDAttentionBlock(nn.Module):
         return (h + out).reshape(b, *spatial, c)
 
 
+class SDCrossAttention(nn.Module):
+    """Multi-head cross/self attention with bias-free q/k/v projections
+    (stable_diffusion/attention.py:152-201). Dropout omitted (always 0 in the
+    shipped configs)."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        ctx = self.context_dim or self.query_dim
+        proj = lambda out, inp, name: nn.Dense(
+            out, use_bias=False, kernel_init=F.torch_linear_kernel_init,
+            name=name)
+        self.to_q = proj(inner, self.query_dim, "to_q")
+        self.to_k = proj(inner, ctx, "to_k")
+        self.to_v = proj(inner, ctx, "to_v")
+        self.to_out_0 = _dense(self.query_dim, inner, name="to_out_0")
+
+    def __call__(self, x, context=None):
+        h, d = self.heads, self.dim_head
+        ctx = x if context is None else context
+        q, k, v = self.to_q(x), self.to_k(ctx), self.to_v(ctx)
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k) * (d ** -0.5)
+        attn = nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out_0(out)
+
+
+class SDGEGLU(nn.Module):
+    """x * gelu(gate) (attention.py:36-44)."""
+
+    dim_in: int
+    dim_out: int
+
+    def setup(self):
+        self.proj = _dense(self.dim_out * 2, self.dim_in, name="proj")
+
+    def __call__(self, x):
+        x, gate = jnp.split(self.proj(x), 2, axis=-1)
+        return x * nn.gelu(gate, approximate=False)
+
+
+class SDFeedForward(nn.Module):
+    """GEGLU MLP, torch names net.0.proj / net.2 (attention.py:47-64)."""
+
+    dim: int
+    mult: int = 4
+
+    def setup(self):
+        inner = self.dim * self.mult
+        self.net_0 = SDGEGLU(self.dim, inner, name="net_0")
+        self.net_2 = _dense(self.dim, inner, name="net_2")
+
+    def __call__(self, x):
+        return self.net_2(self.net_0(x))
+
+
+class SDBasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> GEGLU MLP, pre-LayerNorm
+    (attention.py:200-219)."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+
+    def setup(self):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
+        self.attn1 = SDCrossAttention(self.dim, None, self.n_heads,
+                                      self.d_head, name="attn1")
+        self.attn2 = SDCrossAttention(self.dim, self.context_dim,
+                                      self.n_heads, self.d_head, name="attn2")
+        self.ff = SDFeedForward(self.dim, name="ff")
+        self.norm1, self.norm2, self.norm3 = ln("norm1"), ln("norm2"), ln("norm3")
+
+    def __call__(self, x, context=None):
+        x = self.attn1(self.norm1(x)) + x
+        x = self.attn2(self.norm2(x), context=context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+class SDSpatialTransformer(nn.Module):
+    """GN(32, eps 1e-6) -> 1x1 proj_in -> N transformer blocks -> zero 1x1
+    proj_out + residual (attention.py:222-260). Cross-attention defaults to
+    self-attention when no context is given."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    norm_groups: int = 32
+
+    def setup(self):
+        inner = self.n_heads * self.d_head
+        n = 2  # the reference transformer is 2-D only (nn.Conv2d projections)
+        self.norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
+                                 name="norm")
+        self.proj_in = _conv(inner, n, 1, pad=0, in_ch=self.in_channels,
+                             name="proj_in")
+        self.transformer_blocks = [
+            SDBasicTransformerBlock(inner, self.n_heads, self.d_head,
+                                    self.context_dim)
+            for _ in range(self.depth)
+        ]
+        self.proj_out = _conv(self.in_channels, n, 1, pad=0, zero_init=True,
+                              in_ch=inner, name="proj_out")
+
+    def __call__(self, x, context=None):
+        b, hh, ww, c = x.shape
+        h = self.proj_in(self.norm(x))
+        h = h.reshape(b, hh * ww, -1)
+        for block in self.transformer_blocks:
+            h = block(h, context=context)
+        h = h.reshape(b, hh, ww, -1)
+        return self.proj_out(h) + x
+
+
 class UNetOpenAI(nn.Module):
     """The full SD/ADM UNet (unet_openai.py:413-744), NHWC, flax."""
 
@@ -269,6 +397,9 @@ class UNetOpenAI(nn.Module):
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     use_new_attention_order: bool = False
+    use_spatial_transformer: bool = False  # SD cross-attn (context kwarg)
+    transformer_depth: int = 1
+    context_dim: Optional[int] = None
     norm_groups: int = 32  # 32 = reference GroupNorm32; divisor override for tiny configs
     remat: bool = False  # reference use_checkpoint, via flax.linen.remat
 
@@ -289,6 +420,12 @@ class UNetOpenAI(nn.Module):
             # __call__(x, emb, train): train is static.
             ResBlock = nn.remat(SDResBlock, static_argnums=(2,))
             AttnBlock = nn.remat(SDAttentionBlock, static_argnums=(2,))
+        if self.use_spatial_transformer:
+            # legacy rule (unet_openai.py:548-550): d_head = ch // num_heads
+            def AttnBlock(ch_, heads_, **_kw):  # noqa: N802
+                return SDSpatialTransformer(
+                    ch_, heads_, ch_ // heads_, depth=self.transformer_depth,
+                    context_dim=self.context_dim, norm_groups=self.norm_groups)
 
         self.time_embed_0 = _dense(ted, mc, name="time_embed_0")
         self.time_embed_2 = _dense(ted, ted, name="time_embed_2")
@@ -372,6 +509,7 @@ class UNetOpenAI(nn.Module):
         self_cond=None,
         cond_mask=None,
         train: bool = False,
+        context=None,  # [B, T, context_dim] for use_spatial_transformer
     ) -> Tuple[jnp.ndarray, list]:
         assert self_cond is None, "UNetOpenAI has no self-conditioning (use models.UNet)"
         emb = self.time_embed_2(nn.silu(self.time_embed_0(
@@ -382,19 +520,28 @@ class UNetOpenAI(nn.Module):
                 lab = lab * cond_mask.astype(lab.dtype)[:, None]
             emb = emb + lab
 
+        def apply(layer, h):
+            # the stem conv (input_blocks.0.0) takes no embedding; spatial
+            # transformers take the cross-attention context instead
+            # (TimestepEmbedSequential dispatch, unet_openai.py:74-88)
+            if isinstance(layer, nn.Conv):
+                return layer(h)
+            if isinstance(layer, SDSpatialTransformer):
+                return layer(h, context)
+            return layer(h, emb, train)
+
         hs = []
         h = x_t
         for layers in self.input_blocks:
             for layer in layers:
-                # the stem conv (input_blocks.0.0) takes no embedding
-                h = layer(h) if isinstance(layer, nn.Conv) else layer(h, emb, train)
+                h = apply(layer, h)
             hs.append(h)
         for layer in self.middle_block:
-            h = layer(h, emb, train)
+            h = apply(layer, h)
         for layers in self.output_blocks:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for layer in layers:
-                h = layer(h, emb, train)
+                h = apply(layer, h)
         y = self.out_2(nn.silu(_group_norm_f32(self.out_0, h.astype(x_t.dtype))))
         return y, []
 
@@ -404,7 +551,7 @@ class UNetOpenAI(nn.Module):
 # ---------------------------------------------------------------------------
 
 _NORM_LEAF = re.compile(
-    r"(in_layers_0|out_layers_0|norm|out_0)/weight$"
+    r"(^|/)(in_layers_0|out_layers_0|norm|out_0|norm1|norm2|norm3)/weight$"
 )
 
 
