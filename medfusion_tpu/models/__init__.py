@@ -25,6 +25,7 @@ from medfusion_tpu.models.unet_lucidrains import (  # noqa: F401
     convert_lucidrains_state_dict,
 )
 from medfusion_tpu.models.unet_openai import (  # noqa: F401
+    EncoderUNetOpenAI,
     UNetOpenAI,
     convert_openai_state_dict,
 )

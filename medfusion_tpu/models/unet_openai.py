@@ -37,6 +37,7 @@ import re
 from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -546,6 +547,165 @@ class UNetOpenAI(nn.Module):
         return y, []
 
 
+class SDAttentionPool(nn.Module):
+    """CLIP-style attention pooling (unet_openai.py:32-59): prepend the mean
+    token, add a learned positional embedding, one QKVAttention (qkv-major
+    layout) pass, return the pooled first token."""
+
+    embed_dim: int
+    num_head_channels: int
+    output_dim: int
+    spatial_tokens: int  # spatial**2 at the pooled resolution
+
+    def setup(self):
+        n = self.spatial_tokens + 1
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            lambda key, shape: jax.random.normal(key, shape) / self.embed_dim ** 0.5,
+            (self.embed_dim, n))
+        self.qkv_proj = _dense(3 * self.embed_dim, self.embed_dim,
+                               name="qkv_proj")
+        self.c_proj = _dense(self.output_dim, self.embed_dim, name="c_proj")
+
+    def __call__(self, x):
+        b, *spatial, c = x.shape
+        h = x.reshape(b, -1, c)
+        h = jnp.concatenate([jnp.mean(h, axis=1, keepdims=True), h], axis=1)
+        h = h + self.positional_embedding.T[None].astype(h.dtype)
+        qkv = self.qkv_proj(h)
+        heads = self.embed_dim // self.num_head_channels
+        d = c // heads
+        n = qkv.shape[1]
+        # qkv-major channel layout (QKVAttention, unet_openai.py:379-406)
+        q, k, v = [a.reshape(b, n, heads * d)
+                   for a in jnp.split(qkv.reshape(b, n, 3, heads, d), 3, axis=2)]
+        out = compute_attention(q, k, v, heads, scale=d ** -0.25)
+        return self.c_proj(out)[:, 0]
+
+
+class EncoderUNetOpenAI(nn.Module):
+    """The half (encoder-only) UNet classifier (unet_openai.py:747-961) with
+    all four pooling heads: 'adaptive' (GN->SiLU->global-avg->zero 1x1),
+    'attention' (GN->SiLU->AttentionPool2d), 'spatial' and 'spatial_v2'
+    (MLPs over concatenated per-stage spatial means). Returns [N, K]."""
+
+    image_size: int = 32
+    in_channels: int = 4
+    model_channels: int = 256
+    out_channels: int = 1000
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    spatial_dims: int = 2
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    pool: str = "adaptive"
+    norm_groups: int = 32
+
+    def setup(self):
+        mc = self.model_channels
+        ted = mc * 4
+        n = self.spatial_dims
+        heads = lambda ch: (self.num_heads if self.num_head_channels == -1
+                            else ch // self.num_head_channels)
+
+        self.time_embed_0 = _dense(ted, mc, name="time_embed_0")
+        self.time_embed_2 = _dense(ted, ted, name="time_embed_2")
+
+        blocks = [[_conv(mc, n, 3, in_ch=self.in_channels)]]
+        ch, ds = mc, 1
+        feature_size = mc
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                layers = [SDResBlock(ch, ted, mult * mc, self.dropout,
+                                     use_scale_shift_norm=self.use_scale_shift_norm,
+                                     spatial_dims=n, norm_groups=self.norm_groups)]
+                ch = mult * mc
+                if ds in self.attention_resolutions:
+                    layers.append(SDAttentionBlock(
+                        ch, heads(ch), new_order=self.use_new_attention_order,
+                        norm_groups=self.norm_groups))
+                blocks.append(layers)
+                feature_size += ch
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    blocks.append([SDResBlock(
+                        ch, ted, ch, self.dropout,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        spatial_dims=n, down=True, norm_groups=self.norm_groups)])
+                else:
+                    blocks.append([SDDownsample(ch, ch, self.conv_resample, n)])
+                ds *= 2
+                feature_size += ch
+        self.input_blocks = blocks
+        self._ds = ds
+        self._feature_size = feature_size + ch
+
+        self.middle_block = [
+            SDResBlock(ch, ted, ch, self.dropout,
+                       use_scale_shift_norm=self.use_scale_shift_norm,
+                       spatial_dims=n, norm_groups=self.norm_groups),
+            SDAttentionBlock(ch, heads(ch),
+                             new_order=self.use_new_attention_order,
+                             norm_groups=self.norm_groups),
+            SDResBlock(ch, ted, ch, self.dropout,
+                       use_scale_shift_norm=self.use_scale_shift_norm,
+                       spatial_dims=n, norm_groups=self.norm_groups),
+        ]
+
+        if self.pool == "adaptive":
+            self.out_0 = _gn32("out_0", self.norm_groups)
+            self.out_3 = _conv(self.out_channels, n, 1, pad=0, zero_init=True,
+                               in_ch=ch, name="out_3")
+        elif self.pool == "attention":
+            assert self.num_head_channels != -1
+            self.out_0 = _gn32("out_0", self.norm_groups)
+            self.out_2 = SDAttentionPool(
+                ch, self.num_head_channels, self.out_channels,
+                (self.image_size // ds) ** 2, name="out_2")
+        elif self.pool == "spatial":
+            self.out_0 = _dense(2048, self._feature_size, name="out_0")
+            self.out_2 = _dense(self.out_channels, 2048, name="out_2")
+        elif self.pool == "spatial_v2":
+            self.out_0 = _dense(2048, self._feature_size, name="out_0")
+            self.out_1 = _gn32("out_1", self.norm_groups)
+            self.out_3 = _dense(self.out_channels, 2048, name="out_3")
+        else:
+            raise NotImplementedError(f"Unexpected {self.pool} pooling")
+
+    def __call__(self, x, t, train: bool = False):
+        emb = self.time_embed_2(nn.silu(self.time_embed_0(
+            sd_timestep_embedding(t, self.model_channels))))
+        spatial_axes = tuple(range(1, 1 + self.spatial_dims))
+
+        results = []
+        h = x
+        for layers in self.input_blocks:
+            for layer in layers:
+                h = layer(h) if isinstance(layer, nn.Conv) else layer(h, emb, train)
+            if self.pool.startswith("spatial"):
+                results.append(jnp.mean(h, axis=spatial_axes))
+        for layer in self.middle_block:
+            h = layer(h, emb, train)
+
+        if self.pool == "adaptive":
+            h = nn.silu(_group_norm_f32(self.out_0, h))
+            h = jnp.mean(h, axis=spatial_axes, keepdims=True)
+            return self.out_3(h).reshape(h.shape[0], -1)
+        if self.pool == "attention":
+            return self.out_2(nn.silu(_group_norm_f32(self.out_0, h)))
+        results.append(jnp.mean(h, axis=spatial_axes))
+        h = jnp.concatenate(results, axis=-1)
+        if self.pool == "spatial":
+            return self.out_2(nn.relu(self.out_0(h)))
+        return self.out_3(nn.silu(_group_norm_f32(self.out_1, self.out_0(h))))
+
+
 # ---------------------------------------------------------------------------
 # torch state_dict -> flax params converter
 # ---------------------------------------------------------------------------
@@ -555,15 +715,17 @@ _NORM_LEAF = re.compile(
 )
 
 
-def _openai_key_to_path(key: str) -> str:
+def _openai_key_to_path(key: str, ndim: int = None) -> str:
     key = re.sub(r"\.(\d+)", r"_\1", key)  # numeric indices join their parent
     key = key.replace(".", "/")
-    if _NORM_LEAF.search(key):
-        return key[: -len("weight")] + "scale"
     if key == "label_emb/weight":
         return "label_emb/embedding"
     if key.endswith("/weight"):
-        return key[: -len("weight")] + "kernel"
+        # 1-D weights are norm scales (GroupNorm/LayerNorm); anything wider
+        # is a conv/linear kernel. Falls back to the name rule when the
+        # shape is unknown.
+        is_norm = (ndim == 1) if ndim is not None else bool(_NORM_LEAF.search(key))
+        return key[: -len("weight")] + ("scale" if is_norm else "kernel")
     return key
 
 
@@ -574,7 +736,7 @@ def convert_openai_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict:
     params: Dict = {}
     for key, val in state_dict.items():
         arr = np.asarray(val)
-        path = _openai_key_to_path(key)
+        path = _openai_key_to_path(key, arr.ndim)
         if path.endswith("/kernel"):
             if arr.ndim >= 4:  # conv nd: [O, I, *k] -> [*k, I, O]
                 nsp = arr.ndim - 2

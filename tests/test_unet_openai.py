@@ -156,6 +156,44 @@ def test_forward_parity_spatial_transformer_cross_attention():
     # torch model crashes on its own to_k shapes, so it is not parity-tested)
 
 
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial",
+                                  "spatial_v2"])
+def test_encoder_unet_parity(pool):
+    """EncoderUNetModel (the classifier half, unet_openai.py:747-961) exact
+    forward parity on every pooling head."""
+    from medfusion_tpu.models.unet_openai import EncoderUNetOpenAI
+
+    m = _ref_unet_module()
+    cfg = dict(image_size=16, in_channels=3, model_channels=32,
+               out_channels=5, num_res_blocks=1, attention_resolutions=[2],
+               channel_mult=(1, 2), num_heads=4,
+               num_head_channels=(8 if pool == "attention" else -1),
+               use_scale_shift_norm=True, resblock_updown=False, pool=pool)
+    torch.manual_seed(0)
+    ref = m.EncoderUNetModel(**cfg).eval()
+    model = EncoderUNetOpenAI(
+        image_size=16, in_channels=3, model_channels=32, out_channels=5,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=4, num_head_channels=(8 if pool == "attention" else -1),
+        use_scale_shift_norm=True, pool=pool)
+    params = convert_openai_state_dict(_np_state_dict(ref))
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    t = np.array([3, 250], dtype=np.int64)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(t))
+    assert (jax.tree_util.tree_structure(init["params"])
+            == jax.tree_util.tree_structure(params))
+    y = model.apply({"params": params},
+                    jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(t))
+    assert y.shape == y_ref.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=3e-5, rtol=0)
+
+
 def test_class_conditioning_and_cfg_mask():
     """The vendored reference force-disables labels (unet_openai.py:720) —
     a reference bug, so conditioning is validated by internal consistency:
