@@ -120,6 +120,58 @@ def test_full_loop_ddim_parity_real_unet(guidance, steps):
     assert max_abs <= 1e-4, f"full-loop max|delta|={max_abs:.2e}"
 
 
+def test_full_loop_ddim_parity_openai_family():
+    """The SD/ADM estimator family end to end: the VENDORED torch UNetModel
+    (external/stable_diffusion/unet_openai.py) drives the reference denoise
+    loop, the converted weights drive our fused-scan sampler with UNetOpenAI —
+    final latents agree to 1e-4 over 25 DDIM steps. This cross-validates the
+    sampler math and the new family against the reference's own code, not a
+    mirror. (The vendored model force-disables labels, so condition=None.)"""
+    from tests.test_unet_openai import _ref_unet_module
+
+    from medfusion_tpu.models.unet_openai import (
+        UNetOpenAI,
+        convert_openai_state_dict,
+    )
+
+    m = _ref_unet_module()
+    torch.manual_seed(5)
+    ref_unet = m.UNetModel(
+        image_size=8, in_channels=2, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=[2], channel_mult=(1, 2),
+        num_heads=4, use_scale_shift_norm=True, resblock_updown=True,
+    ).eval()
+    # randomize past the zero-init heads so the net actually does something
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(7)
+        for p in ref_unet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    flax_unet = UNetOpenAI(
+        in_channels=2, model_channels=32, out_channels=2, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
+        use_scale_shift_norm=True, resblock_updown=True)
+    params = convert_openai_state_dict(
+        {k: v.detach().numpy() for k, v in ref_unet.state_dict().items()})
+
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear",
+        beta_start=0.002, beta_end=0.02)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=flax_unet,
+                             latent_embedder=None, estimator_objective="x_T",
+                             clip_x0=False, do_input_centering=False)
+
+    x_init = np.random.default_rng(6).standard_normal((2, 8, 8, 2)).astype(np.float32)
+    out = pipe.denoise(
+        {"noise_estimator": params}, jnp.asarray(x_init), jax.random.PRNGKey(3),
+        condition=None, steps=25, use_ddim=True, eta=0.0,
+        guidance_scale=1.0, decode=False,
+    )
+    ref = _reference_denoise(ref_unet, nchw(x_init), 25, None, 1.0, clip=False)
+    max_abs = float(np.max(np.abs(np.asarray(out) - nhwc(torch.from_numpy(ref)))))
+    assert max_abs <= 1e-4, f"openai-family full-loop max|delta|={max_abs:.2e}"
+
+
 def test_full_loop_unconditional_parity_real_unet():
     """condition=None end to end (no label embedding on either side)."""
     pipe, params, mirror = _build(clip=False)
