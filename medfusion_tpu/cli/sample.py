@@ -30,7 +30,7 @@ from medfusion_tpu.utils.logging import save_image_grid
 def load_pipeline(args, p):
     key = jax.random.PRNGKey(args.seed)
     vae = build_vae(p)
-    unet = build_unet(p)
+    unet = build_unet(p, getattr(args, "estimator", "unet"))
     pipe = DiffusionPipeline(scheduler=build_scheduler(p), noise_estimator=unet,
                              latent_embedder=vae, do_input_centering=False, clip_x0=False)
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
@@ -66,6 +66,9 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--encoder-key-every", type=int, default=1,
                     help=">1 uses the encoder-propagation fast sampler")
+    ap.add_argument("--estimator", default="unet",
+                    choices=("unet", "unet_legacy", "openai", "lucidrains"),
+                    help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
                          "25-50 steps (beyond-reference, arXiv:2211.01095)")

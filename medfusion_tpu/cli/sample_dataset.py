@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--encoder-key-every", type=int, default=1,
                     help=">1 enables the encoder-propagation fast sampler (approximate)")
+    ap.add_argument("--estimator", default="unet",
+                    choices=("unet", "unet_legacy", "openai", "lucidrains"),
+                    help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 steps")
     ap.add_argument("--seed", type=int, default=0)
