@@ -20,6 +20,10 @@ from medfusion_tpu.models.latent_embedders_diffusers import (  # noqa: F401
     convert_diffusers_vae_state_dict,
 )
 from medfusion_tpu.models.unet import UNet  # noqa: F401
+from medfusion_tpu.models.unet_diffusers import (  # noqa: F401
+    UNet2DConditionDiffusers,
+    convert_diffusers_unet_state_dict,
+)
 from medfusion_tpu.models.unet_lucidrains import (  # noqa: F401
     UNetLucidrains,
     convert_lucidrains_state_dict,

@@ -45,24 +45,35 @@ def _gn(groups: int, name: str, eps: float = 1e-6) -> nn.GroupNorm:
 
 
 class DResnetBlock(nn.Module):
-    """Pre-norm GN(eps 1e-6)->SiLU->conv x2 + 1x1 shortcut
-    (diffusers/resnet.py:249-363, temb None / scale factor 1)."""
+    """Pre-norm GN->SiLU->conv x2 + 1x1 shortcut, optional additive time
+    embedding between the convs (diffusers/resnet.py:249-363, scale factor 1)."""
 
     in_channels: int
     out_channels: int
     groups: int = 32
+    temb_channels: Optional[int] = None
+    eps: float = 1e-6
 
     def setup(self):
-        self.norm1 = _gn(self.groups, "norm1")
+        import medfusion_tpu.nn.functional as F
+
+        self.norm1 = _gn(self.groups, "norm1", self.eps)
         self.conv1 = Conv(self.in_channels, self.out_channels, 3, name="conv1")
-        self.norm2 = _gn(self.groups, "norm2")
+        if self.temb_channels is not None:
+            self.time_emb_proj = nn.Dense(
+                self.out_channels, kernel_init=F.torch_linear_kernel_init,
+                bias_init=F.make_torch_bias_init(self.temb_channels),
+                name="time_emb_proj")
+        self.norm2 = _gn(self.groups, "norm2", self.eps)
         self.conv2 = Conv(self.out_channels, self.out_channels, 3, name="conv2")
         if self.in_channels != self.out_channels:
             self.conv_shortcut = Conv(self.in_channels, self.out_channels, 1,
                                       padding=0, name="conv_shortcut")
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False):
         h = self.conv1(nn.silu(self.norm1(x)))
+        if self.temb_channels is not None and temb is not None:
+            h = h + self.time_emb_proj(nn.silu(temb))[:, None, None, :]
         h = self.conv2(nn.silu(self.norm2(h)))
         if self.in_channels != self.out_channels:
             x = self.conv_shortcut(x)
@@ -155,7 +166,7 @@ class DownEncoderBlock(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for r in self.resnets:
-            x = r(x, train)
+            x = r(x, train=train)
         for d in self.downsamplers:
             x = d(x, train)
         return x
@@ -179,7 +190,7 @@ class UpDecoderBlock(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for r in self.resnets:
-            x = r(x, train)
+            x = r(x, train=train)
         for u in self.upsamplers:
             x = u(x, train)
         return x
@@ -197,9 +208,9 @@ class MidBlock(nn.Module):
         self.attentions = [DAttentionBlock(self.channels, None, self.groups)]
 
     def __call__(self, x, train: bool = False):
-        x = self.resnets[0](x, train)
-        x = self.attentions[0](x, train)
-        x = self.resnets[1](x, train)
+        x = self.resnets[0](x, train=train)
+        x = self.attentions[0](x, train=train)
+        x = self.resnets[1](x, train=train)
         return x
 
 
