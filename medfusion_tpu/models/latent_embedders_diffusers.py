@@ -45,14 +45,27 @@ def _gn(groups: int, name: str, eps: float = 1e-6) -> nn.GroupNorm:
 
 
 class DResnetBlock(nn.Module):
-    """Pre-norm GN->SiLU->conv x2 + 1x1 shortcut, optional additive time
-    embedding between the convs (diffusers/resnet.py:249-363, scale factor 1)."""
+    """Pre-norm GN->act->conv x2 + 1x1 shortcut, optional additive time
+    embedding between the convs (diffusers/resnet.py:249-363).
+
+    Full ResnetBlock2D option set: separate ``groups_out`` for norm2,
+    ``output_scale_factor`` divisor on the residual sum, ``use_in_shortcut``
+    override, in-block up/down resampling (``updown`` in {'none', 'up_fir',
+    'down_fir', 'up', 'down', 'up_sde', 'down_sde'} — resnet.py:306-324;
+    the non-FIR variants are the parameterless Upsample2D/Downsample2D
+    use_conv=False paths) and the 'mish' nonlinearity. Defaults reproduce
+    the scale-factor-1 VAE configuration."""
 
     in_channels: int
     out_channels: int
     groups: int = 32
     temb_channels: Optional[int] = None
     eps: float = 1e-6
+    groups_out: Optional[int] = None
+    output_scale_factor: float = 1.0
+    use_in_shortcut: Optional[bool] = None
+    updown: str = "none"
+    non_linearity: str = "swish"
 
     def setup(self):
         import medfusion_tpu.nn.functional as F
@@ -64,20 +77,54 @@ class DResnetBlock(nn.Module):
                 self.out_channels, kernel_init=F.torch_linear_kernel_init,
                 bias_init=F.make_torch_bias_init(self.temb_channels),
                 name="time_emb_proj")
-        self.norm2 = _gn(self.groups, "norm2", self.eps)
+        g2 = self.groups if self.groups_out is None else self.groups_out
+        self.norm2 = _gn(g2, "norm2", self.eps)
         self.conv2 = Conv(self.out_channels, self.out_channels, 3, name="conv2")
-        if self.in_channels != self.out_channels:
+        if self._shortcut():
             self.conv_shortcut = Conv(self.in_channels, self.out_channels, 1,
                                       padding=0, name="conv_shortcut")
 
+    def _shortcut(self) -> bool:
+        if self.use_in_shortcut is not None:
+            return self.use_in_shortcut
+        return self.in_channels != self.out_channels
+
+    def _act(self, x):
+        if self.non_linearity == "mish":
+            return x * jnp.tanh(jax.nn.softplus(x))
+        return nn.silu(x)
+
+    def _resample(self, x):
+        from medfusion_tpu.models.diffusers_blocks import (
+            fir_downsample_2d, fir_upsample_2d)
+
+        if self.updown in ("up", "up_sde"):
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.updown == "up_fir":
+            return fir_upsample_2d(x)
+        if self.updown == "down_fir":
+            return fir_downsample_2d(x)
+        if self.updown == "down_sde":
+            return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        if self.updown == "down":  # Downsample2D(use_conv=False) = AvgPool2d(2)
+            return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
     def __call__(self, x, temb=None, train: bool = False):
-        h = self.conv1(nn.silu(self.norm1(x)))
+        h = self._act(self.norm1(x))
+        if self.updown != "none":
+            x = self._resample(x)
+            h = self._resample(h)
+        h = self.conv1(h)
         if self.temb_channels is not None and temb is not None:
-            h = h + self.time_emb_proj(nn.silu(temb))[:, None, None, :]
-        h = self.conv2(nn.silu(self.norm2(h)))
-        if self.in_channels != self.out_channels:
+            h = h + self.time_emb_proj(self._act(temb))[:, None, None, :]
+        h = self.conv2(self._act(self.norm2(h)))
+        if self._shortcut():
             x = self.conv_shortcut(x)
-        return x + h
+        out = x + h
+        if self.output_scale_factor != 1.0:
+            out = out / self.output_scale_factor
+        return out
 
 
 class DAttentionBlock(nn.Module):
@@ -88,11 +135,13 @@ class DAttentionBlock(nn.Module):
     channels: int
     num_head_channels: Optional[int] = None
     groups: int = 32
+    eps: float = 1e-6
+    rescale_output_factor: float = 1.0
 
     def setup(self):
         import medfusion_tpu.nn.functional as F
 
-        self.group_norm = _gn(self.groups, "group_norm")
+        self.group_norm = _gn(self.groups, "group_norm", self.eps)
         dense = lambda name: nn.Dense(
             self.channels, kernel_init=F.torch_linear_kernel_init,
             bias_init=F.make_torch_bias_init(self.channels), name=name)
@@ -117,7 +166,10 @@ class DAttentionBlock(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
         out = self.proj_attn(out).reshape(b, hh, ww, c)
-        return out + x
+        out = out + x
+        if self.rescale_output_factor != 1.0:
+            out = out / self.rescale_output_factor
+        return out
 
 
 class DDownsample(nn.Module):
