@@ -10,5 +10,11 @@ from medfusion_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from medfusion_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_partition_spec,
+    shard_stage_params,
+    stack_stage_params,
+)
 from medfusion_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from medfusion_tpu.parallel.sampling import make_sharded_sampler  # noqa: F401

@@ -1,0 +1,139 @@
+"""Pipeline parallelism (GPipe-style microbatch streaming) over a mesh axis.
+
+Beyond-reference capability: the reference trains on a single pinned GPU
+(``scripts/train_diffusion.py:64``, SURVEY §2.4 — no ``torch.distributed``
+anywhere), so pipeline parallelism has no torch counterpart to mirror. This
+is the TPU-native construction: each device on the ``axis`` of a
+:class:`jax.sharding.Mesh` owns ONE stage's parameters (a stacked pytree
+sharded on its leading dim), microbatches stream through the stage ring
+with ``lax.ppermute`` neighbor pushes (ICI hops, no gather), and the whole
+schedule is a single ``lax.scan`` inside one ``shard_map`` — one compiled
+program, differentiable end-to-end (``jax.grad`` through ``ppermute``
+gives the reverse-ring backward schedule automatically).
+
+Schedule: the classic GPipe fill-drain pipeline — ``n_micro + n_stages - 1``
+ticks; device ``s`` processes microbatch ``t - s`` at tick ``t``; bubble
+fraction ``(S-1)/(T+S-1)``. Stages must be shape-preserving (activation
+shape in == out), the usual contract for stacked-block pipelining.
+
+Composes with the rest of :mod:`medfusion_tpu.parallel`: the stage axis is
+just another mesh axis, so dp batch sharding (other axes) applies to the
+microbatch dims untouched.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+try:  # mark a replicated value as device-varying (shard_map vma typing)
+    from jax.lax import pcast as _pcast
+
+    def _pvary(x, axes):
+        return _pcast(x, axes, to="varying")
+except ImportError:  # pragma: no cover - older jax
+    try:
+        from jax.lax import pvary as _pvary
+    except ImportError:
+        _pvary = None
+
+
+def stack_stage_params(params_list: Sequence[Any]):
+    """Stack per-stage param pytrees along a new leading 'stage' dim."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0),
+                                  *params_list)
+
+
+def pipeline_partition_spec(stacked_params, axis: str = "model"):
+    """PartitionSpec pytree placing the leading stage dim on ``axis``."""
+    return jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+
+
+def shard_stage_params(stacked_params, mesh: Mesh, axis: str = "model"):
+    """Place each stage's slice of the stacked params on its pipeline device."""
+    return jax.tree_util.tree_map(
+        lambda v: jax.device_put(v, NamedSharding(mesh, P(axis))),
+        stacked_params)
+
+
+def _mark_varying(x, axis_name: str, anchor):
+    """Give a freshly-built constant the device-varying type of ``anchor``
+    so it is a legal shard_map loop carry (see ring_attention.py)."""
+    if _pvary is not None:
+        return _pvary(x, (axis_name,))
+    leaf = jax.tree_util.tree_leaves(anchor)[0]
+    return x + jnp.zeros((), x.dtype) * leaf.ravel()[0].astype(x.dtype)
+
+
+def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+                   stacked_params, x: jnp.ndarray, *, mesh: Mesh,
+                   axis: str = "model", n_microbatches: int = None,
+                   data_axis: str = None):
+    """Apply ``n_stages = mesh.shape[axis]`` sequential stages to ``x``.
+
+    Args:
+      stage_fn: ``(stage_params, activation) -> activation`` — one stage,
+        shape-preserving.
+      stacked_params: pytree with leading dim ``n_stages`` (see
+        :func:`stack_stage_params`), sharded over ``axis``.
+      x: global input ``[B, ...]``; ``B`` must divide into
+        ``n_microbatches`` equal microbatches.
+      n_microbatches: defaults to ``n_stages`` (minimum sane choice; more
+        microbatches shrink the pipeline bubble).
+      data_axis: optional second mesh axis carrying data parallelism — the
+        microbatch batch dim is sharded over it (dp x pp composition).
+
+    Returns the stage composition ``stage_{S-1}(... stage_0(x))`` with the
+    same sharding layout as ``x`` (replicated over ``axis``).
+    """
+    n_stages = mesh.shape[axis]
+    n_micro = n_microbatches or n_stages
+    b = x.shape[0]
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
+    x_mb = x.reshape((n_micro, b // n_micro) + x.shape[1:])
+    x_spec = P(None, data_axis) if data_axis else P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), x_spec), out_specs=x_spec,
+             check_vma=False)
+    def run(p_stacked, xm):
+        p_local = jax.tree_util.tree_map(lambda v: v[0], p_stacked)
+        stage_id = jax.lax.axis_index(axis)
+        is_first = (stage_id == 0)
+        is_last = (stage_id == n_stages - 1)
+        fwd = [(i, i + 1) for i in range(n_stages - 1)]
+
+        act0 = _mark_varying(jnp.zeros_like(xm[0]), axis, p_local)
+        out0 = _mark_varying(jnp.zeros_like(xm), axis, p_local)
+        x_mb_local = xm
+
+        def tick(carry, t):
+            act, out = carry
+            idx = t - stage_id  # microbatch this stage works on now
+            inp = jnp.where(is_first,
+                            x_mb_local[jnp.clip(t, 0, n_micro - 1)], act)
+            y = stage_fn(p_local, inp)
+            valid = jnp.logical_and(idx >= 0, idx < n_micro)
+            take = jnp.logical_and(valid, is_last).astype(y.dtype)
+            out = out.at[jnp.clip(idx, 0, n_micro - 1)].add(y * take)
+            # push to the next stage (last stage's output leaves the ring)
+            act = jax.lax.ppermute(y, axis, perm=fwd)
+            return (act, out), None
+
+        (_, out), _ = jax.lax.scan(
+            tick, (act0, out0), jnp.arange(n_micro + n_stages - 1))
+        # only the last stage holds real data -> psum replicates the result
+        return jax.lax.psum(out, axis)
+
+    y = run(stacked_params, x_mb)
+    return y.reshape(x.shape)

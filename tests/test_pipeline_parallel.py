@@ -1,0 +1,111 @@
+"""Pipeline parallelism: GPipe microbatch streaming over the 'model' mesh
+axis equals the sequential stage composition — forward AND gradients —
+and composes with data parallelism on the 'data' axis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medfusion_tpu.parallel import (
+    make_mesh,
+    pipeline_apply,
+    shard_stage_params,
+    stack_stage_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices")
+
+
+def _stage_fn(p, x):
+    return jnp.tanh(x @ p["w"] + p["b"])
+
+
+def _make_stages(n_stages, dim, seed=0):
+    rng = np.random.default_rng(seed)
+    stages = [
+        {"w": jnp.asarray(rng.standard_normal((dim, dim)) / np.sqrt(dim),
+                          jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((dim,)) * 0.1, jnp.float32)}
+        for _ in range(n_stages)
+    ]
+    return stages
+
+
+def _sequential(stages, x):
+    for p in stages:
+        x = _stage_fn(p, x)
+    return x
+
+
+def test_pipeline_forward_matches_sequential():
+    mesh = make_mesh(n_data=2, n_model=4)
+    stages = _make_stages(4, 16)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 16)),
+                    jnp.float32)
+    want = _sequential(stages, x)
+    got = pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_more_microbatches_than_stages():
+    mesh = make_mesh(n_data=1, n_model=8)
+    stages = _make_stages(8, 8, seed=2)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((32, 8)),
+                    jnp.float32)
+    want = _sequential(stages, x)
+    got = pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model",
+                         n_microbatches=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_gradients_match_sequential():
+    mesh = make_mesh(n_data=2, n_model=4)
+    stages = _make_stages(4, 8, seed=4)
+    stacked = stack_stage_params(stages)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((8, 8)),
+                    jnp.float32)
+
+    def loss_pp(p):
+        y = pipeline_apply(_stage_fn, p, x, mesh=mesh, axis="model")
+        return jnp.mean(y ** 2)
+
+    def loss_seq(p):
+        h = x
+        for i in range(4):
+            h = _stage_fn(jax.tree_util.tree_map(lambda v: v[i], p), h)
+        return jnp.mean(h ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_pipeline_composes_with_dp():
+    mesh = make_mesh(n_data=2, n_model=4)
+    stages = _make_stages(4, 16, seed=6)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((16, 16)),
+                    jnp.float32)
+    want = _sequential(stages, x)
+    got = pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model",
+                         n_microbatches=4, data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_rejects_bad_microbatching():
+    mesh = make_mesh(n_data=2, n_model=4)
+    stages = _make_stages(4, 8, seed=8)
+    stacked = stack_stage_params(stages)
+    x = jnp.zeros((6, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model")
