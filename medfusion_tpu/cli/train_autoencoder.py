@@ -75,30 +75,39 @@ def main(argv=None):
     vae_params = vae.init({"params": key, "sample": key}, x0)["params"]
 
     # VQ flavors: commitment loss weight 1.0, pyramid-mean rec reduction
-    # (latent_embedders.py:210-211 vs :637-638)
+    # (latent_embedders.py:210-211 vs :637-638). The diffusers families train
+    # with their vendored wrappers' losses: plain MSE (no SSIM), emb weight 1
+    # (vae.py:608-610 mean MSE + vq_loss; :833-834 sum(sq)/B + kl).
     quantized = args.model in ("vqvae", "diffusers_vq")
+    diffusers_family = args.model.startswith("diffusers")
     ae_trainer = AutoencoderTrainer(
         autoencoder=vae, flavor="vqvae" if quantized else "vae",
-        pixel_loss=p.ae_loss, perceiver=None,
-        embedding_loss_weight=(1.0 if quantized else p.ae_embedding_loss_weight),
+        pixel_loss="l2" if diffusers_family else p.ae_loss, perceiver=None,
+        embedding_loss_weight=(1.0 if (quantized or diffusers_family)
+                               else p.ae_embedding_loss_weight),
+        use_ssim=not diffusers_family,
     )
-    if args.gan and args.model.startswith("diffusers"):
-        ap.error("--gan needs the in-house family (adaptive lambda reads its "
-                 "decoder hiddens); use --model vae|vqvae")
     if args.gan:
-        if args.disc == "patch":
+        if args.disc == "patch" or diffusers_family:
+            # the vendored diffusers VQGAN/VAEWrapper always pair with the
+            # taming PatchGAN (vae.py:678, 867)
             from medfusion_tpu.models.latent_embedders import NLayerDiscriminator
 
             disc = NLayerDiscriminator(spatial_dims=2)
         else:
             disc = Discriminator(spatial_dims=2)
+        # diffusers family: single out head, no pyramid; D pre-trains from
+        # start//2 (vendored VQGAN gating, vae.py:733-739)
+        n_disc = 1 if diffusers_family else p.ae_deep_supervision + 1
         trainer = AdversarialTrainer(
             ae_trainer=ae_trainer, discriminator=disc,
-            n_discriminators=p.ae_deep_supervision + 1,
+            n_discriminators=n_disc,
             start_gan_train_step=args.start_gan_step,
+            start_disc_train_step=(args.start_gan_step // 2
+                                   if diffusers_family else None),
         )
         shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
-                  for i in range(p.ae_deep_supervision + 1)]
+                  for i in range(n_disc)]
         disc_params = init_discriminators(disc, key, shapes)
         # reference VAEGAN lr 1e-6 for both players (latent_embedders.py:888-889)
         state = GANTrainState.create(vae_params, disc_params,

@@ -321,12 +321,18 @@ class DiffusersDecoder(nn.Module):
         self.conv_norm_out = _gn(self.norm_num_groups, "conv_norm_out")
         self.conv_out = Conv(chs[-1], self.out_channels, 3, name="conv_out")
 
-    def __call__(self, z, train: bool = False):
+    def hidden(self, z, train: bool = False):
+        """Pre-``conv_out`` activation — the adaptive-lambda anchor point
+        (the vendored VQGAN reads gradients at ``decoder.conv_out.weight``,
+        vae.py:698-706)."""
         h = self.conv_in(z)
         h = self.mid_block(h, train)
         for blk in self.up_blocks:
             h = blk(h, train)
-        return self.conv_out(nn.silu(self.conv_norm_out(h)))
+        return nn.silu(self.conv_norm_out(h))
+
+    def __call__(self, z, train: bool = False):
+        return self.conv_out(self.hidden(z, train))
 
 
 def _diffusers_gaussian(moments, rng=None, sample=True):
@@ -381,6 +387,16 @@ class AutoencoderKLDiffusers(nn.Module):
         z, kl = _diffusers_gaussian(self._moments(x, train), rng, sample)
         return self.decode(z, train), [], kl
 
+    def forward_with_hiddens(self, x, train: bool = False,
+                             sample: bool = True):
+        """(pred, [], emb_loss, h_top, []) — same contract as the in-house
+        family; h_top anchors the adversarial trainer's adaptive lambda at
+        ``decoder.conv_out`` (vendored VAEWrapper/VQGAN flow)."""
+        rng = self.make_rng("sample") if sample else None
+        z, kl = _diffusers_gaussian(self._moments(x, train), rng, sample)
+        h = self.decoder.hidden(self.post_quant_conv(z), train)
+        return self.decoder.conv_out(h), [], kl, h, []
+
 
 class VQModelDiffusers(nn.Module):
     """(vae.py:346-463). The vendored quantizer default is ``legacy=False``
@@ -423,6 +439,13 @@ class VQModelDiffusers(nn.Module):
         z = self.quant_conv(self.encoder(x, train))
         z_q, emb_loss = self.quantize(z)
         return self.decode(z_q, train), [], emb_loss
+
+    def forward_with_hiddens(self, x, train: bool = False):
+        """(pred, [], emb_loss, h_top, []) — see AutoencoderKLDiffusers."""
+        z = self.quant_conv(self.encoder(x, train))
+        z_q, emb_loss = self.quantize(z)
+        h = self.decoder.hidden(self.post_quant_conv(z_q), train)
+        return self.decoder.conv_out(h), [], emb_loss, h, []
 
 
 # ---------------------------------------------------------------------------

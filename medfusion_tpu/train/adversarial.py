@@ -24,7 +24,7 @@ step counter advances by 2 per batch to match ``start_gan_train_step``'s
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,10 +73,18 @@ class GANTrainState:
 
 
 def _conv_head(h: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """Apply a 1x1 (or 1x1x1) conv head: NHWC tensordot over channels."""
+    """Apply the decoder out-head conv (channels-last). 1x1 heads (in-house
+    ``outc``) use a tensordot; spatial heads (the diffusers family's 3x3
+    ``decoder.conv_out``) use a same-padded conv."""
     nsp = h.ndim - 2
-    w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # [I, O]
-    return jnp.tensordot(h, w, axes=([h.ndim - 1], [0])) + bias
+    if all(k == 1 for k in kernel.shape[:nsp]):
+        w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # [I, O]
+        return jnp.tensordot(h, w, axes=([h.ndim - 1], [0])) + bias
+    pads = tuple(((k - 1) // 2, k // 2) for k in kernel.shape[:nsp])
+    dn = ("NHWC", "HWIO", "NHWC") if nsp == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    return jax.lax.conv_general_dilated(
+        h, kernel, window_strides=(1,) * nsp, padding=pads,
+        dimension_numbers=dn) + bias
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,15 +97,31 @@ class AdversarialTrainer:
     gan_loss: Callable = hinge_d_loss
     gan_loss_weight: float = 1.0
     start_gan_train_step: int = 50000
+    # discriminator gate; None = start_gan_train_step (in-house flow). The
+    # vendored diffusers VQGAN pre-trains D from start//2 (vae.py:733-739).
+    start_disc_train_step: Optional[int] = None
     lambda_eps: float = 1e-4
 
     # ------------------------------------------------------------------
 
     def _head_leaves(self, ae_params, depth: int):
-        """(kernel, bias) of the depth-th decoder out head. Depth 0 -> outc,
-        depth i>0 -> outc_ver[i-1]; all are 1x1 zero-init BasicBlocks."""
-        name = "outc" if depth == 0 else f"outc_ver_{depth - 1}"
-        leaf = ae_params[name]["conv"]["conv"]
+        """(kernel, bias) of the depth-th decoder out head.
+
+        In-house family: depth 0 -> ``outc``, depth i>0 -> ``outc_ver[i-1]``
+        (1x1 zero-init BasicBlocks). Diffusers family: depth 0 ->
+        ``decoder.conv_out`` (3x3; the vendored VQGAN's lambda anchor,
+        vae.py:698-706) — it has no deep-supervision heads."""
+        if "outc" in ae_params:
+            name = "outc" if depth == 0 else f"outc_ver_{depth - 1}"
+            leaf = ae_params[name]["conv"]["conv"]
+        elif "decoder" in ae_params and "conv_out" in ae_params["decoder"]:
+            if depth != 0:
+                raise ValueError(
+                    "the diffusers latent-embedder family has a single out "
+                    "head (decoder.conv_out); use n_discriminators=1")
+            leaf = ae_params["decoder"]["conv_out"]
+        else:
+            raise KeyError("cannot locate the decoder out head in ae_params")
         return leaf["kernel"], leaf.get("bias", 0.0)
 
     def _disc_apply(self, disc_params, disc_stats, depth: int, x,
@@ -216,7 +240,10 @@ class AdversarialTrainer:
         the generator step's D(pred) update) and frozen while the GAN is
         inactive — the reference never calls D before ``start_gan_train_step``."""
         x = batch["source"]
-        active = (step > self.start_gan_train_step).astype(x.dtype)
+        disc_start = (self.start_gan_train_step
+                      if self.start_disc_train_step is None
+                      else self.start_disc_train_step)
+        active = (step > disc_start).astype(x.dtype)
         stats = dict(disc_stats or {})
         k = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -246,7 +273,7 @@ class AdversarialTrainer:
         metrics["loss_1"] = loss
         # Freeze stats until activation (reference gating, :963-967).
         new_stats = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(step > self.start_gan_train_step, new, old),
+            lambda new, old: jnp.where(step > disc_start, new, old),
             stats, dict(disc_stats or {}),
         )
         return loss, (metrics, new_stats)

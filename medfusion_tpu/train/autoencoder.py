@@ -50,6 +50,11 @@ class AutoencoderTrainer:
     perceiver: Any = None  # LPIPS module or None
     perceptual_loss_weight: float = 1.0
     embedding_loss_weight: float = 1e-6
+    # the in-house family adds per-image (1-SSIM) to the pixel loss
+    # (latent_embedders.py:798-800); the vendored diffusers wrappers train on
+    # the plain pixel loss only (external/diffusers/vae.py:608-610, 719-721,
+    # 833-834) — set False for that family.
+    use_ssim: bool = True
 
     def perception(self, perceiver_params, pred, target, depth: int):
         """LPIPS only at pyramid depth < 2 (latent_embedders.py:791-796)."""
@@ -59,11 +64,13 @@ class AutoencoderTrainer:
         return val * self.perceptual_loss_weight
 
     def _level_elems(self, perceiver_params, pred, target, depth: int):
-        return (
+        elems = (
             _pixel_elems(pred, target, self.pixel_loss)
             + self.perception(perceiver_params, pred, target, depth)
-            + ssim_loss_per_image(pred, target)
         )
+        if self.use_ssim:
+            elems = elems + ssim_loss_per_image(pred, target)
+        return elems
 
     def rec_loss(self, perceiver_params, pred, pred_vertical, target):
         b = pred.shape[0]

@@ -27,10 +27,15 @@ REF_DIR = "/root/reference/medical_diffusion/external/diffusers"
 def _ref_vae_module():
     if "refdif.vae" in sys.modules:
         return sys.modules["refdif.vae"]
-    # stub lightning + torchvision dependencies of the (unused) wrappers
+    # stub lightning + torchvision dependencies of the wrappers; BasicModel
+    # must swallow the (optimizer, ..., loss_kwargs) super().__init__ args
+    class _StubBasicModel(torch.nn.Module):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+
     md = types.ModuleType("medical_diffusion")
     md_models = types.ModuleType("medical_diffusion.models")
-    md_models.BasicModel = torch.nn.Module
+    md_models.BasicModel = _StubBasicModel
     md.models = md_models
     tv = types.ModuleType("torchvision")
     tv_utils = types.ModuleType("torchvision.utils")
