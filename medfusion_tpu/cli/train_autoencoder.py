@@ -58,8 +58,21 @@ def main(argv=None):
                          "or PatchGAN (reference NLayerDiscriminator, BatchNorm)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
+                    help="supervise training: on a crash, restart up to N "
+                         "times, restoring from the latest checkpoint")
     args = ap.parse_args(argv)
 
+    if args.auto_restart:
+        from medfusion_tpu.utils.resilience import run_with_auto_restore
+
+        return run_with_auto_restore(
+            lambda resume: _train(args, resume=args.resume or resume),
+            max_restarts=args.auto_restart)
+    return _train(args, resume=args.resume)
+
+
+def _train(args, resume: bool):
     p = PRESETS[args.preset]
     batch_size = args.batch_size or p.ae_batch_size
     out = Path(args.out)
@@ -118,11 +131,12 @@ def main(argv=None):
         step_fn = make_autoencoder_train_step(ae_trainer, donate=False)
 
     ckpt_dir = out / "checkpoints"
-    if args.resume and C.latest_step(ckpt_dir) is not None:
-        state = C.restore_checkpoint(ckpt_dir, state)
-        print(f"resumed from step {C.latest_step(ckpt_dir)}")
-
     step = 0
+    if resume and C.latest_step(ckpt_dir) is not None:
+        state = C.restore_checkpoint(ckpt_dir, state)
+        step = int(C.latest_step(ckpt_dir))
+        print(f"resumed from step {step}")
+
     t0 = time.time()
     epoch = 0
     while step < args.max_steps:

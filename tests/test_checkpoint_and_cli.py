@@ -143,3 +143,20 @@ def test_cli_train_and_eval_smoke(tmp_path, monkeypatch):
         "--batch-size", "4", "--max-batches", "1",
     ])
     assert np.isfinite(result["MSE_mean"]) and result["n"] == 4
+
+
+def test_train_autoencoder_resume_continues_step_counter(tmp_path, capsys):
+    """--resume restores params AND the step counter (a restored run must
+    continue at latest_step, not restart checkpoint numbering from 0)."""
+    from medfusion_tpu.cli import train_autoencoder
+    from medfusion_tpu.utils import checkpoint as C
+
+    out = tmp_path / "ae"
+    base = ["--preset", "smoke", "--out", str(out),
+            "--ckpt-every", "2", "--sample-every", "0"]
+    train_autoencoder.main(base + ["--max-steps", "2"])
+    assert C.latest_step(out / "checkpoints") == 2
+    train_autoencoder.main(base + ["--max-steps", "4", "--resume"])
+    captured = capsys.readouterr().out
+    assert "resumed from step 2" in captured
+    assert C.latest_step(out / "checkpoints") == 4
