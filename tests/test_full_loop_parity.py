@@ -184,3 +184,98 @@ def test_full_loop_unconditional_parity_real_unet():
     ref = _reference_denoise(mirror, nchw(x_init), 20, None, 1.0, clip=False)
     max_abs = float(np.max(np.abs(np.asarray(out) - nhwc(torch.from_numpy(ref)))))
     assert max_abs <= 1e-4, f"uncond full-loop max|delta|={max_abs:.2e}"
+
+
+def test_full_loop_ddim_parity_lucidrains_family():
+    """The lucidrains estimator family end to end: the VENDORED torch UNet
+    (external/unet_lucidrains.py) drives the reference denoise loop, the
+    converted weights drive our fused-scan sampler with UNetLucidrains."""
+    from tests.test_unet_lucidrains import _ref_module
+
+    from medfusion_tpu.models.unet_lucidrains import (
+        UNetLucidrains,
+        convert_lucidrains_state_dict,
+    )
+
+    m = _ref_module()
+    torch.manual_seed(9)
+    cfg = dict(dim=16, dim_mults=(1, 2), channels=2, self_condition=False,
+               resnet_block_groups=4, learned_variance=False,
+               learned_sinusoidal_cond=False)
+    ref_unet = m.UNet(**cfg).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(10)
+        for p in ref_unet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    flax_unet = UNetLucidrains(**cfg)
+    params = convert_lucidrains_state_dict(
+        {k: v.detach().numpy() for k, v in ref_unet.state_dict().items()})
+
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear",
+        beta_start=0.002, beta_end=0.02)
+    # clip_x0 bounds the open-loop iteration (random WS-conv weights
+    # otherwise amplify the latent over 25 steps on both sides)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=flax_unet,
+                             latent_embedder=None, estimator_objective="x_T",
+                             clip_x0=True, do_input_centering=False)
+
+    x_init = np.random.default_rng(11).standard_normal((2, 16, 16, 2)).astype(np.float32)
+    out = pipe.denoise(
+        {"noise_estimator": params}, jnp.asarray(x_init), jax.random.PRNGKey(4),
+        condition=None, steps=25, use_ddim=True, eta=0.0,
+        guidance_scale=1.0, decode=False,
+    )
+    ref = _reference_denoise(ref_unet, nchw(x_init), 25, None, 1.0, clip=True)
+    max_abs = float(np.max(np.abs(np.asarray(out) - nhwc(torch.from_numpy(ref)))))
+    assert max_abs <= 1e-4, f"lucidrains-family full-loop max|delta|={max_abs:.2e}"
+
+
+def test_full_loop_ddim_parity_diffusers_family():
+    """The diffusers UNet2DConditionModel family end to end, condition
+    tokens threaded through cross-attention on both sides."""
+    from tests.test_unet_diffusers import _ref_unet_module
+
+    from medfusion_tpu.models.unet_diffusers import (
+        UNet2DConditionDiffusers,
+        convert_diffusers_unet_state_dict,
+    )
+
+    m = _ref_unet_module()
+    cfg = dict(
+        in_channels=2, out_channels=2,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        block_out_channels=(32, 64), layers_per_block=1,
+        norm_num_groups=32, norm_eps=1e-5,
+        cross_attention_dim=16, attention_head_dim=8,
+    )
+    torch.manual_seed(12)
+    ref_unet = m.UNet2DConditionModel(**cfg).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(13)
+        for p in ref_unet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+    flax_unet = UNet2DConditionDiffusers(**cfg)
+    params = convert_diffusers_unet_state_dict(
+        {k: v.detach().numpy() for k, v in ref_unet.state_dict().items()})
+
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear",
+        beta_start=0.002, beta_end=0.02)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=flax_unet,
+                             latent_embedder=None, estimator_objective="x_T",
+                             clip_x0=False, do_input_centering=False)
+
+    cond = np.asarray([[0], [1]], np.int64)  # [B, 1] context tokens
+    x_init = np.random.default_rng(14).standard_normal((2, 16, 16, 2)).astype(np.float32)
+    out = pipe.denoise(
+        {"noise_estimator": params}, jnp.asarray(x_init), jax.random.PRNGKey(5),
+        condition=jnp.asarray(cond), steps=25, use_ddim=True, eta=0.0,
+        guidance_scale=1.0, decode=False,
+    )
+    ref = _reference_denoise(ref_unet, nchw(x_init), 25, cond, 1.0, clip=False)
+    max_abs = float(np.max(np.abs(np.asarray(out) - nhwc(torch.from_numpy(ref)))))
+    assert max_abs <= 1e-4, f"diffusers-family full-loop max|delta|={max_abs:.2e}"
