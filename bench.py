@@ -47,22 +47,34 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 DEFAULT_BATCH = 32  # round-2 sweep winner (see PARITY.md "Batch sweep")
 STEPS = 150
+
+# Flagship latent geometries (BASELINE.md): chest 8ch@32x32 -> 256^2,
+# eye 4ch@32x32 -> 256^2, colon 4ch@64x64 -> 512^2 (scripts/sample.py:45,
+# streamlit/pages/{chest,eye,colon}.py). The UNet keeps the pinned chest
+# trunk (train_diffusion.py:83-98) with the family's latent channels.
+PRESETS = {
+    "chest": {"latent": (32, 32, 8), "image": 256},
+    "eye": {"latent": (32, 32, 4), "image": 256},
+    "colon": {"latent": (64, 64, 4), "image": 512},
+}
 RUNS = 3
 V5E_PEAK_FLOPS = 197e12  # bf16
 A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
 
 
-def build():
+def build(preset="chest"):
     from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
     from medfusion_tpu.models.latent_embedders import VAE
     from medfusion_tpu.models.unet import UNet
     from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
 
-    unet = UNet(in_ch=8, out_ch=8, hid_chs=(256, 256, 512, 1024),
+    lat = PRESETS[preset]["latent"]
+    img = PRESETS[preset]["image"]
+    unet = UNet(in_ch=lat[-1], out_ch=lat[-1], hid_chs=(256, 256, 512, 1024),
                 kernel_sizes=(3, 3, 3, 3), strides=(1, 2, 2, 2),
                 time_emb_dim=1024, cond_emb_num_classes=2,
                 deep_supervision=0, use_attention="none")
-    vae = VAE(in_channels=3, out_channels=3, emb_channels=8,
+    vae = VAE(in_channels=3, out_channels=3, emb_channels=lat[-1],
               hid_chs=(64, 128, 256, 512), deep_supervision=0)
     sched = GaussianDiffusionSchedule.create(
         timesteps=1000, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
@@ -71,8 +83,8 @@ def build():
                              compute_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
-    z = jnp.zeros((1, 32, 32, 8), jnp.float32)
-    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    z = jnp.zeros((1,) + lat, jnp.float32)
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
     t0 = jnp.zeros((1,), jnp.int32)
     params = {
         "noise_estimator": unet.init(key, z, t0, t0)["params"],
@@ -82,7 +94,7 @@ def build():
     return pipe, params
 
 
-def flops_per_sample(pipe, params):
+def flops_per_sample(pipe, params, preset="chest"):
     """One UNet forward x STEPS + one decode, from XLA cost analysis (compiled
     on local CPU — FLOP counts are backend-independent and this avoids extra
     remote-compile round trips)."""
@@ -94,7 +106,7 @@ def flops_per_sample(pipe, params):
         except Exception:
             return 0.0
 
-    z1 = jnp.zeros((1, 32, 32, 8), jnp.bfloat16)
+    z1 = jnp.zeros((1,) + PRESETS[preset]["latent"], jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.int32)
     unet_flops = flops_of(
         lambda p, z, t, c: pipe._apply_estimator(p, z, t, c, None, jnp.ones((1,), z.dtype))[0],
@@ -104,12 +116,13 @@ def flops_per_sample(pipe, params):
     return unet_flops * STEPS + decode_flops
 
 
-def run_bench(pipe, params, batch, fps):
+def run_bench(pipe, params, batch, fps, preset="chest"):
     cond = jnp.zeros((batch,), jnp.int32)
+    lat = PRESETS[preset]["latent"]
 
     def run(params, rng):
         out = pipe.sample(
-            params, rng, batch, (32, 32, 8), condition=cond,
+            params, rng, batch, lat, condition=cond,
             steps=STEPS, use_ddim=True, guidance_scale=1.0, eta=1.0,
         )
         # Scalar checksum: forces the full computation while keeping the
@@ -129,8 +142,10 @@ def run_bench(pipe, params, batch, fps):
     samples_per_sec = batch / dt
     mfu = (fps * samples_per_sec / V5E_PEAK_FLOPS) if fps > 0 else float("nan")
     vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
+    img = PRESETS[preset]["image"]
+    lat_s = f"{lat[-1]}x{lat[0]}x{lat[1]}"
     return {
-        "metric": "256x256 samples/sec/chip (150-step DDIM, chest latent 8x32x32, bf16)",
+        "metric": f"{img}x{img} samples/sec/chip (150-step DDIM, {preset} latent {lat_s}, bf16)",
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
@@ -145,20 +160,22 @@ def main():
     ap.add_argument("--batch", type=int, default=DEFAULT_BATCH)
     ap.add_argument("--sweep", action="store_true",
                     help="measure B in {32,64,128}; final line = best")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="chest",
+                    help="latent geometry; the driver headline is chest")
     args = ap.parse_args()
 
-    pipe, params = build()
-    fps = flops_per_sample(pipe, params)
+    pipe, params = build(args.preset)
+    fps = flops_per_sample(pipe, params, args.preset)
 
     if args.sweep:
         results = []
         for b in (32, 64, 128):
-            r = run_bench(pipe, params, b, fps)
+            r = run_bench(pipe, params, b, fps, args.preset)
             print(f"# batch {b}: {r['value']} samples/s  mfu={r['mfu']}", flush=True)
             results.append(r)
         best = max(results, key=lambda r: r["value"])
     else:
-        best = run_bench(pipe, params, args.batch, fps)
+        best = run_bench(pipe, params, args.batch, fps, args.preset)
     print(json.dumps(best))
 
 
