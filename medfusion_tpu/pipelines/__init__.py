@@ -1,3 +1,6 @@
 """End-to-end pipelines (latent diffusion training/sampling)."""
 
-from medfusion_tpu.pipelines.diffusion import DiffusionPipeline  # noqa: F401
+from medfusion_tpu.pipelines.diffusion import (  # noqa: F401
+    DiffusionPipeline,
+    make_classifier_grad,
+)

@@ -245,11 +245,20 @@ class DiffusionPipeline:
         un_cond=None,
         cold_diffusion: bool = False,
         noise=None,
+        classifier_grad=None,
+        classifier_scale: float = 0.0,
     ):
         """One reverse step (reference ``forward``, diffusion_pipeline.py:232-275).
 
         Returns ``(x_t_prior, x_0, x_T, self_cond)``. ``noise`` is the ancestral
         step's gaussian draw (callers control RNG).
+
+        ``classifier_grad(x_t, t) -> grad`` enables classifier guidance
+        (Dhariwal & Nichol, arXiv:2105.05233 Alg. 2 — beyond the reference,
+        which vendors the ``EncoderUNetModel`` classifier but never uses it):
+        the eps prediction is shifted by
+        ``-classifier_scale * sqrt(1 - abar_t) * grad`` before the posterior
+        step, steering sampling toward ``p(x|y)``. eps-objective only.
         """
         sched = self.scheduler
         pred = self._guided_pred(params, x_t, t, condition, self_cond,
@@ -260,6 +269,14 @@ class DiffusionPipeline:
             var_scale = pred_var / 2 + 0.5
         else:
             var_scale = 0.0
+
+        if classifier_grad is not None:
+            assert self.estimator_objective == "x_T", (
+                "classifier guidance shifts the eps prediction; use the "
+                "eps ('x_T') objective")
+            grad = classifier_grad(x_t, t)
+            shift = S.extract(sched.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
+            pred = pred - classifier_scale * shift * grad
 
         if noise is None:
             noise = jnp.zeros_like(x_t)
@@ -298,10 +315,14 @@ class DiffusionPipeline:
         eta: float = 1.0,
         decode: bool = True,
         cold_diffusion: bool = False,
+        classifier_grad=None,
+        classifier_scale: float = 0.0,
     ):
         """Full reverse process as ONE ``lax.scan`` (replaces the reference's
         host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
-        ``use_ddim``, ``guidance_scale``, ``eta``, ``decode`` are static."""
+        ``use_ddim``, ``guidance_scale``, ``eta``, ``decode`` are static.
+        ``classifier_grad``/``classifier_scale``: see :meth:`estimate` (build
+        one with :func:`make_classifier_grad`)."""
         sched = self.scheduler
         if use_ddim:
             n = sched.timesteps if steps is None else steps
@@ -330,6 +351,8 @@ class DiffusionPipeline:
                 params, x, t_b, condition, sc,
                 guidance_scale=guidance_scale, un_cond=un_cond, noise=anc_noise,
                 cold_diffusion=cold_diffusion,
+                classifier_grad=classifier_grad,
+                classifier_scale=classifier_scale,
             )
             if use_ddim:
                 ddim_noise = jax.random.normal(k_ddim, x.shape, x.dtype)
@@ -569,3 +592,28 @@ class DiffusionPipeline:
             return self.sample(params, rng, num_samples, condition=condition, **static_kwargs)
 
         return run
+
+
+def make_classifier_grad(classifier_apply, label):
+    """Build the ``classifier_grad(x_t, t)`` callback for classifier-guided
+    sampling (Dhariwal & Nichol, *Diffusion Models Beat GANs on Image
+    Synthesis*, arXiv:2105.05233 Alg. 2).
+
+    ``classifier_apply(x_t, t) -> [B, K]`` logits of a noisy-image classifier
+    (e.g. :class:`medfusion_tpu.models.unet_openai.EncoderUNetOpenAI` — the
+    vendored classifier half the reference ships but never uses,
+    unet_openai.py:747-961). ``label``: [B] int targets. Returns
+    ``grad(x_t, t) = d/dx_t sum_b log softmax(logits)[b, label_b]`` — the
+    per-sample score of p(y|x_t) (the sum decouples across the batch).
+    """
+
+    def grad_fn(x_t, t):
+        def logp(x):
+            logits = classifier_apply(x, t)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            lab = jnp.asarray(label)[:, None]
+            return jnp.sum(jnp.take_along_axis(lp, lab, axis=-1))
+
+        return jax.grad(logp)(x_t)
+
+    return grad_fn
