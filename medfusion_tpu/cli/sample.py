@@ -72,11 +72,29 @@ def main(argv=None):
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
                          "25-50 steps (beyond-reference, arXiv:2211.01095)")
+    ap.add_argument("--classifier-ckpt", default=None,
+                    help="noisy-latent classifier run dir (cli/train_classifier) "
+                         "for classifier-guided sampling (arXiv:2105.05233)")
+    ap.add_argument("--classifier-scale", type=float, default=1.0)
+    ap.add_argument("--classifier-model-channels", type=int, default=64)
+    ap.add_argument("--classifier-pool", default="adaptive")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
+
+    clf = clf_params = None
+    if args.classifier_ckpt:
+        from medfusion_tpu.cli.train_classifier import build_classifier
+
+        clf = build_classifier(p, args.classifier_model_channels,
+                               args.classifier_pool)
+        h, w, c = p.latent_shape
+        init = clf.init(jax.random.PRNGKey(0), np.zeros((1, h, w, c), np.float32),
+                        np.zeros((1,), np.int32))["params"]
+        template = TrainState.create(init, optax.adamw(1e-4))
+        clf_params = C.restore_checkpoint(args.classifier_ckpt, template).params
     out = Path(args.out)
     steps = min(args.steps, p.timesteps)
 
@@ -97,8 +115,18 @@ def main(argv=None):
                                      guidance_scale=gs,
                                      encoder_key_every=args.encoder_key_every)
         else:
+            guided = {}
+            if clf is not None and cond_val is not None:
+                from medfusion_tpu.pipelines.diffusion import make_classifier_grad
+
+                guided = dict(
+                    classifier_grad=make_classifier_grad(
+                        lambda x, t: clf.apply({"params": clf_params}, x, t),
+                        jnp.full((args.n,), cond_val, jnp.int32)),
+                    classifier_scale=args.classifier_scale)
             imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
-                               steps=steps, use_ddim=True, guidance_scale=gs)
+                               steps=steps, use_ddim=True, guidance_scale=gs,
+                               **guided)
         results[cond_val] = np.asarray(imgs)
         save_image_grid(results[cond_val], out / f"sample_cond_{cond_val}.png")
         print(f"condition={cond_val}: wrote {out}/sample_cond_{cond_val}.png")

@@ -14,3 +14,7 @@ from medfusion_tpu.train.adversarial import (  # noqa: F401
     GANTrainState,
     make_adversarial_train_step,
 )
+from medfusion_tpu.train.classifier import (  # noqa: F401
+    ClassifierTrainer,
+    make_classifier_train_step,
+)
