@@ -58,6 +58,24 @@ class DemoState:
         self._images = OrderedDict()
         self._lock = threading.Lock()
         self._inflight = {}
+        self._batchers = {}
+
+    def batcher(self, preset_name):
+        """Lazy per-preset MicroBatcher for the /one serving endpoint:
+        concurrent single-image requests coalesce onto ONE fixed-shape
+        compiled program (see demo/serving.py)."""
+        from medfusion_tpu.demo.serving import MicroBatcher, make_sample_batch_fn
+
+        p, pipe, params = self.pipeline(preset_name)
+        with self._lock:
+            if preset_name not in self._batchers:
+                fn = make_sample_batch_fn(
+                    pipe, params, p.latent_shape,
+                    steps=min(50, p.timesteps), guidance_scale=4.0,
+                    conditional=bool(p.num_classes))
+                self._batchers[preset_name] = MicroBatcher(
+                    fn, batch_size=self.args.serve_batch)
+        return self._batchers[preset_name]
 
     def pipeline(self, preset_name):
         with self._lock:
@@ -152,6 +170,24 @@ def make_handler(state: DemoState):
                 return self._html(
                     f"<h2>{key['n']} samples, {key['steps']} steps</h2>{tags}"
                 )
+            if url.path == "/one":
+                # serving endpoint: one image per request, micro-batched
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                preset = q.get("preset", state.args.preset)
+                fut = state.batcher(preset).submit(
+                    seed=int(q.get("seed", 0)), cond=int(q.get("cond", 1)))
+                arr = np.asarray(fut.result(timeout=600))
+                arr = ((arr.clip(-1, 1) + 1) * 127.5).astype(np.uint8)
+                img = arr[:, :, 0] if arr.shape[-1] == 1 else arr
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, "PNG")
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             if url.path == "/img":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 i = int(q.get("i", 0))
@@ -184,6 +220,8 @@ def main(argv=None):
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--port", type=int, default=8600)
+    ap.add_argument("--serve-batch", type=int, default=4,
+                    help="micro-batch size for the /one serving endpoint")
     args = ap.parse_args(argv)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(DemoState(args)))
     print(f"demo listening on http://127.0.0.1:{args.port}")

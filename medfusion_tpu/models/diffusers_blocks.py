@@ -138,10 +138,6 @@ class FirUpsample(nn.Module):
         y = upfirdn2d(y, k, pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
         return y + self.Conv2d_0.bias
 
-    @property
-    def resolved_out_channels(self) -> Optional[int]:
-        return self.out_channels or self.channels
-
 
 class FirDownsample(nn.Module):
     """``FirDownsample2D`` (resnet.py:188-248)."""

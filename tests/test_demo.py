@@ -21,6 +21,7 @@ def demo_server():
         vae_ckpt = None
         ema = False
         seed = 0
+        serve_batch = 2
 
     state = DemoState(Args())
     # Random-init pipelines have zero-init out heads (every decode is exactly
@@ -72,3 +73,24 @@ def test_img_is_keyed_by_request_not_shared_state(demo_server):
     # out-of-range index -> 404
     with pytest.raises(urllib.error.HTTPError):
         _get(demo_server + "/img?preset=smoke&n=1&steps=3&seed=33&i=5")
+
+
+def test_one_endpoint_micro_batches_concurrent_requests(demo_server):
+    """/one serves one PNG per request through the MicroBatcher: concurrent
+    requests coalesce onto a fixed-shape compiled batch; different seeds give
+    different images."""
+    results = {}
+
+    def client(seed):
+        status, body = _get(demo_server + f"/one?preset=smoke&seed={seed}&cond=1")
+        results[seed] = (status, body)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in (101, 202)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {101, 202}
+    for status, body in results.values():
+        assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert results[101][1] != results[202][1]
