@@ -77,9 +77,14 @@ def main(argv=None):
                          "for classifier-guided sampling (arXiv:2105.05233)")
     ap.add_argument("--classifier-scale", type=float, default=1.0)
     ap.add_argument("--classifier-model-channels", type=int, default=64)
-    ap.add_argument("--classifier-pool", default="adaptive")
+    ap.add_argument("--classifier-pool", default="adaptive",
+                    choices=("adaptive", "attention", "spatial", "spatial_v2"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.classifier_ckpt and (args.sampler != "ddim"
+                                 or args.encoder_key_every > 1):
+        ap.error("--classifier-ckpt guidance is wired into the plain DDIM "
+                 "sampler only; drop --sampler dpmpp / --encoder-key-every")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)

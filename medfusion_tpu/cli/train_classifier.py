@@ -32,12 +32,18 @@ from medfusion_tpu.utils import checkpoint as C
 from medfusion_tpu.utils.logging import MetricsWriter
 
 
-def build_classifier(p, model_channels: int = 64, pool: str = "adaptive"):
+def build_classifier(p, model_channels: int = 64, pool: str = "adaptive",
+                     num_head_channels: int = -1):
     h, w, c = p.latent_shape
+    if pool == "attention" and num_head_channels == -1:
+        # the attention pool requires an explicit head size
+        # (unet_openai.py:889 asserts num_head_channels != -1)
+        num_head_channels = min(32, model_channels)
     return EncoderUNetOpenAI(
         image_size=h, in_channels=c, model_channels=model_channels,
         out_channels=p.num_classes, num_res_blocks=2,
-        attention_resolutions=(), channel_mult=(1, 2), pool=pool)
+        attention_resolutions=(), channel_mult=(1, 2), pool=pool,
+        num_head_channels=num_head_channels)
 
 
 def main(argv=None):

@@ -174,9 +174,19 @@ def make_handler(state: DemoState):
                 # serving endpoint: one image per request, micro-batched
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 preset = q.get("preset", state.args.preset)
-                fut = state.batcher(preset).submit(
-                    seed=int(q.get("seed", 0)), cond=int(q.get("cond", 1)))
-                arr = np.asarray(fut.result(timeout=600))
+                if preset not in PRESETS:
+                    self.send_error(400, f"unknown preset {preset!r}")
+                    return
+                try:
+                    fut = state.batcher(preset).submit(
+                        seed=int(q.get("seed", 0)), cond=int(q.get("cond", 1)))
+                    arr = np.asarray(fut.result(timeout=600))
+                except ValueError:
+                    self.send_error(400, "seed/cond must be integers")
+                    return
+                except Exception as e:  # noqa: BLE001 - surface as HTTP 500
+                    self.send_error(500, f"sampling failed: {type(e).__name__}")
+                    return
                 arr = ((arr.clip(-1, 1) + 1) * 127.5).astype(np.uint8)
                 img = arr[:, :, 0] if arr.shape[-1] == 1 else arr
                 buf = io.BytesIO()

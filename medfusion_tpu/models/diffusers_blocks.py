@@ -628,7 +628,9 @@ def get_down_block(down_block_type: str, num_layers: int, in_channels: int,
                                  attn_num_head_channels,
                                  add_downsample=add_downsample)
     if down_block_type == "DownEncoderBlock2D":
-        return DownEncoderBlock(in_channels, out_channels, num_layers, groups)
+        return DownEncoderBlock(in_channels, out_channels, num_layers, groups,
+                                add_downsample=add_downsample,
+                                downsample_padding=pad)
     if down_block_type == "AttnDownEncoderBlock2D":
         return AttnDownEncoderBlock(in_channels, out_channels, num_layers,
                                     resnet_eps, groups,
@@ -676,7 +678,8 @@ def get_up_block(up_block_type: str, num_layers: int, in_channels: int,
                                attn_num_head_channels,
                                add_upsample=add_upsample)
     if up_block_type == "UpDecoderBlock2D":
-        return UpDecoderBlock(in_channels, out_channels, num_layers, groups)
+        return UpDecoderBlock(in_channels, out_channels, num_layers, groups,
+                              add_upsample=add_upsample)
     if up_block_type == "AttnUpDecoderBlock2D":
         return AttnUpDecoderBlock(in_channels, out_channels, num_layers,
                                   resnet_eps, groups, attn_num_head_channels,

@@ -173,17 +173,20 @@ class DAttentionBlock(nn.Module):
 
 
 class DDownsample(nn.Module):
-    """Asymmetric pad (0,1,0,1) + 3x3 stride-2 conv, the
-    ``downsample_padding=0`` flavor (resnet.py:54-94)."""
+    """3x3 stride-2 conv downsample (resnet.py:54-96). ``padding=0`` is the
+    asymmetric (0,1,0,1)-pad flavor the vendored VAE uses
+    (``downsample_padding=0``); any other value is the symmetric conv pad."""
 
     channels: int
+    padding: int = 0
 
     def setup(self):
-        self.conv = Conv(self.channels, self.channels, 3, stride=2, padding=0,
-                         name="conv")
+        self.conv = Conv(self.channels, self.channels, 3, stride=2,
+                         padding=self.padding, name="conv")
 
     def __call__(self, x, train: bool = False):
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return self.conv(x)
 
 
@@ -201,12 +204,17 @@ class DUpsample(nn.Module):
 
 
 class DownEncoderBlock(nn.Module):
-    """(unet_blocks.py:657-713)"""
+    """(unet_blocks.py:657-713). The vendored Encoder passes
+    ``downsample_padding=0`` and always downsamples (vae.py:45-56 quirk);
+    the ``get_down_block`` factory honors the reference defaults
+    (``add_downsample``, symmetric ``downsample_padding=1``)."""
 
     in_channels: int
     out_channels: int
     num_layers: int = 1
     groups: int = 32
+    add_downsample: bool = True
+    downsample_padding: int = 0
 
     def setup(self):
         self.resnets = [
@@ -214,13 +222,16 @@ class DownEncoderBlock(nn.Module):
                          self.out_channels, self.groups)
             for i in range(self.num_layers)
         ]
-        self.downsamplers = [DDownsample(self.out_channels)]
+        if self.add_downsample:
+            self.downsamplers = [DDownsample(self.out_channels,
+                                             self.downsample_padding)]
 
     def __call__(self, x, train: bool = False):
         for r in self.resnets:
             x = r(x, train=train)
-        for d in self.downsamplers:
-            x = d(x, train)
+        if self.add_downsample:
+            for d in self.downsamplers:
+                x = d(x, train)
         return x
 
 
@@ -231,6 +242,7 @@ class UpDecoderBlock(nn.Module):
     out_channels: int
     num_layers: int = 2
     groups: int = 32
+    add_upsample: bool = True
 
     def setup(self):
         self.resnets = [
@@ -238,13 +250,15 @@ class UpDecoderBlock(nn.Module):
                          self.out_channels, self.groups)
             for i in range(self.num_layers)
         ]
-        self.upsamplers = [DUpsample(self.out_channels)]
+        if self.add_upsample:
+            self.upsamplers = [DUpsample(self.out_channels)]
 
     def __call__(self, x, train: bool = False):
         for r in self.resnets:
             x = r(x, train=train)
-        for u in self.upsamplers:
-            x = u(x, train)
+        if self.add_upsample:
+            for u in self.upsamplers:
+                x = u(x, train)
         return x
 
 

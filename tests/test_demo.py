@@ -5,6 +5,7 @@ Capability parity with the reference streamlit pages
 parameters, deterministic per-seed output, no cross-request state bleed."""
 
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -94,3 +95,13 @@ def test_one_endpoint_micro_batches_concurrent_requests(demo_server):
     for status, body in results.values():
         assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
     assert results[101][1] != results[202][1]
+
+
+def test_one_endpoint_rejects_bad_requests(demo_server):
+    # unknown preset -> HTTP 400, not a dropped connection
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(demo_server + "/one?preset=typo&seed=1")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(demo_server + "/one?preset=smoke&seed=notanint")
+    assert e.value.code == 400

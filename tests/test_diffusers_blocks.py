@@ -309,3 +309,47 @@ def test_factory_down_block_runs():
     y, states = blk.apply(params, x, t)
     assert y.shape == (2, 4, 4, 32)
     assert len(states) == 3
+
+
+@pytest.mark.parametrize("add_downsample,pad", [(False, 1), (True, 1),
+                                                (True, 0)])
+def test_down_encoder_block_factory_parity(add_downsample, pad):
+    """get_down_block must honor add_downsample and downsample_padding for
+    DownEncoderBlock2D (unet_blocks.py:80-85) — both the no-resample final
+    block and the symmetric-padding flavor."""
+    ub = _ref_mod("unet_blocks")
+    torch.manual_seed(20)
+    ref = ub.DownEncoderBlock2D(in_channels=32, out_channels=32, num_layers=2,
+                                resnet_groups=8, add_downsample=add_downsample,
+                                downsample_padding=pad)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((2, 32, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    blk = get_down_block("DownEncoderBlock2D", 2, 32, 32, None,
+                         add_downsample, resnet_groups=8,
+                         downsample_padding=pad)
+    params = {"params": convert_diffusers_block_state_dict(_np_sd(ref))}
+    got = blk.apply(params, _nhwc(x))
+    assert want.shape == _nchw(got).shape
+    np.testing.assert_allclose(_nchw(got), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("add_upsample", [False, True])
+def test_up_decoder_block_factory_parity(add_upsample):
+    """get_up_block must honor add_upsample for UpDecoderBlock2D
+    (unet_blocks.py:172-177)."""
+    ub = _ref_mod("unet_blocks")
+    torch.manual_seed(22)
+    ref = ub.UpDecoderBlock2D(in_channels=32, out_channels=32, num_layers=2,
+                              resnet_groups=8, add_upsample=add_upsample)
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((2, 32, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    blk = get_up_block("UpDecoderBlock2D", 2, 32, 32, 32, None, add_upsample,
+                       resnet_groups=8)
+    params = {"params": convert_diffusers_block_state_dict(_np_sd(ref))}
+    got = blk.apply(params, _nhwc(x))
+    assert want.shape == _nchw(got).shape
+    np.testing.assert_allclose(_nchw(got), want, atol=2e-5)

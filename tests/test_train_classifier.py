@@ -64,3 +64,19 @@ def test_train_classifier_cli_guided_sample_roundtrip(tmp_path):
         "--classifier-scale", "1.5", "--out", str(sample_out)])
     assert (sample_out / "sample_cond_0.png").exists()
     assert (sample_out / "sample_cond_1.png").exists()
+
+
+def test_build_classifier_attention_pool_initializes():
+    """--pool attention must produce a usable model (num_head_channels is
+    auto-set; the bare EncoderUNetOpenAI default -1 would assert)."""
+    from medfusion_tpu.cli.presets import PRESETS
+    from medfusion_tpu.cli.train_classifier import build_classifier
+
+    p = PRESETS["smoke"]
+    clf = build_classifier(p, model_channels=32, pool="attention")
+    h, w, c = p.latent_shape
+    params = clf.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c)),
+                      jnp.zeros((1,), jnp.int32))["params"]
+    logits = clf.apply({"params": params}, jnp.zeros((2, h, w, c)),
+                       jnp.zeros((2,), jnp.int32))
+    assert logits.shape == (2, p.num_classes)
