@@ -62,7 +62,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16
 A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
 
 
-def build(preset="chest"):
+def build(preset="chest", attention="none"):
     from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
     from medfusion_tpu.models.latent_embedders import VAE
     from medfusion_tpu.models.unet import UNet
@@ -73,7 +73,7 @@ def build(preset="chest"):
     unet = UNet(in_ch=lat[-1], out_ch=lat[-1], hid_chs=(256, 256, 512, 1024),
                 kernel_sizes=(3, 3, 3, 3), strides=(1, 2, 2, 2),
                 time_emb_dim=1024, cond_emb_num_classes=2,
-                deep_supervision=0, use_attention="none")
+                deep_supervision=0, use_attention=attention)
     vae = VAE(in_channels=3, out_channels=3, emb_channels=lat[-1],
               hid_chs=(64, 128, 256, 512), deep_supervision=0)
     sched = GaussianDiffusionSchedule.create(
@@ -116,7 +116,7 @@ def flops_per_sample(pipe, params, preset="chest"):
     return unet_flops * STEPS + decode_flops
 
 
-def run_bench(pipe, params, batch, fps, preset="chest"):
+def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none"):
     cond = jnp.zeros((batch,), jnp.int32)
     lat = PRESETS[preset]["latent"]
 
@@ -146,6 +146,7 @@ def run_bench(pipe, params, batch, fps, preset="chest"):
     lat_s = f"{lat[-1]}x{lat[0]}x{lat[1]}"
     return {
         "metric": f"{img}x{img} samples/sec/chip (150-step DDIM, {preset} latent {lat_s}, bf16)",
+        "attention": attention_label,
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
@@ -155,6 +156,10 @@ def run_bench(pipe, params, batch, fps, preset="chest"):
     }
 
 
+def _attn_label(args):
+    return args.attention + ("+flash" if args.flash else "")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=DEFAULT_BATCH)
@@ -162,20 +167,33 @@ def main():
                     help="measure B in {32,64,128}; final line = best")
     ap.add_argument("--preset", choices=sorted(PRESETS), default="chest",
                     help="latent geometry; the driver headline is chest")
+    ap.add_argument("--attention", choices=["none", "linear", "spatial"],
+                    default="none",
+                    help="UNet attention flavor (the pinned chest protocol is "
+                         "'none'; 'spatial' measures the attention-enabled "
+                         "program, 1024-token softmax at the top level)")
+    ap.add_argument("--flash", action="store_true",
+                    help="route attention through the Pallas flash kernel")
     args = ap.parse_args()
 
-    pipe, params = build(args.preset)
+    pipe, params = build(args.preset, args.attention)
+    # FLOP counting runs on the XLA path (same math); the Pallas switch is
+    # flipped afterwards and read at trace time by compute_attention.
     fps = flops_per_sample(pipe, params, args.preset)
+    if args.flash:
+        import medfusion_tpu.ops as ops
+
+        ops.enable_flash_attention(True)
 
     if args.sweep:
         results = []
         for b in (32, 64, 128):
-            r = run_bench(pipe, params, b, fps, args.preset)
+            r = run_bench(pipe, params, b, fps, args.preset, _attn_label(args))
             print(f"# batch {b}: {r['value']} samples/s  mfu={r['mfu']}", flush=True)
             results.append(r)
         best = max(results, key=lambda r: r["value"])
     else:
-        best = run_bench(pipe, params, args.batch, fps, args.preset)
+        best = run_bench(pipe, params, args.batch, fps, args.preset, _attn_label(args))
     print(json.dumps(best))
 
 

@@ -130,10 +130,43 @@ def export_images(args):
     print(f"wrote {args.out}/random_images.png")
 
 
+def interpolate(args):
+    """Latent interpolation between two dataset images (the reference ships
+    ``DiffusionPipeline.interpolate``, diffusion_pipeline.py:320-332, with no
+    script around it): noise both latents to step i, lerp at n lambdas,
+    denoise each, save one grid row [img1, interpolations..., img2]."""
+    import jax
+
+    from medfusion_tpu.cli.sample import load_pipeline
+
+    p = PRESETS[args.preset]
+    args.estimator = getattr(args, "estimator", "unet")
+    pipe, params = load_pipeline(args, p)
+    ds = build_dataset(p, args.data_root, n_synthetic=max(args.n, 4), seed=args.seed)
+    x1 = jnp.asarray(ds[args.i1 % len(ds)]["source"])[None]
+    x2 = jnp.asarray(ds[args.i2 % len(ds)]["source"])[None]
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k_loop = jax.random.split(key, 3)
+    z1 = pipe.encode_latent(params, x1, k1)
+    z2 = pipe.encode_latent(params, x2, k2)
+    i_step = min(args.steps, p.timesteps - 1)
+    rows = [np.asarray(x1)[0]]
+    for lam in np.linspace(0.0, 1.0, args.n):
+        out = pipe.interpolate(params, k_loop, z1, z2, i=i_step,
+                               lam=float(lam), use_ddim=True)
+        rows.append(np.asarray(out)[0])
+    rows.append(np.asarray(x2)[0])
+    out_dir = Path(args.out)
+    save_image_grid(np.stack(rows), out_dir / "interpolation.png",
+                    nrow=len(rows))
+    print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, i={i_step})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("latent-stats", "extract-vae", "export-gif", "export-images"):
+    for name in ("latent-stats", "extract-vae", "export-gif", "export-images",
+                 "interpolate"):
         s = sub.add_parser(name)
         s.add_argument("--preset", choices=sorted(PRESETS), default="smoke")
         s.add_argument("--data-root", default=None)
@@ -148,11 +181,15 @@ def main(argv=None):
             s.add_argument("--disc", choices=["conv", "patch"], default="conv",
                            help="discriminator flavor the GAN checkpoint was "
                                 "trained with (must match train_autoencoder --disc)")
+        if name == "interpolate":
+            s.add_argument("--i1", type=int, default=0)
+            s.add_argument("--i2", type=int, default=1)
     args = ap.parse_args(argv)
     if args.cmd == "export-gif" and args.out == "results/helpers":
         args.out = "results/helpers/trajectory.gif"
     {"latent-stats": latent_stats, "extract-vae": extract_vae,
-     "export-gif": export_gif, "export-images": export_images}[args.cmd](args)
+     "export-gif": export_gif, "export-images": export_images,
+     "interpolate": interpolate}[args.cmd](args)
 
 
 if __name__ == "__main__":

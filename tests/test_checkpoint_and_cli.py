@@ -160,3 +160,13 @@ def test_train_autoencoder_resume_continues_step_counter(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "resumed from step 2" in captured
     assert C.latest_step(out / "checkpoints") == 4
+
+
+def test_helpers_interpolate(tmp_path):
+    """`helpers interpolate` exercises DiffusionPipeline.interpolate
+    (reference diffusion_pipeline.py:320-332 — method without a script)."""
+    from medfusion_tpu.cli import helpers
+
+    helpers.main(["interpolate", "--preset", "smoke", "--n", "3",
+                  "--steps", "4", "--out", str(tmp_path)])
+    assert (tmp_path / "interpolation.png").exists()
