@@ -29,11 +29,23 @@ def fused_group_norm_enabled() -> bool:
 
 
 def flash_attention(q, k, v, scale):
-    """[B, H, N, D] flash attention; lazy import keeps Pallas off the critical
-    import path for CPU-only test runs."""
-    from medfusion_tpu.ops.flash_attention import flash_attention as _fa
+    """[B, H, N, D] flash attention (compiled Mosaic on TPU, interpret mode
+    on CPU — see :mod:`medfusion_tpu.ops.flash_attention`)."""
+    return _FA_IMPL(q, k, v, scale)
 
-    return _fa(q, k, v, scale)
+
+_FLASH_WRAPPER = flash_attention
+
+# Import the kernel submodule ONCE, eagerly. The initial submodule load binds
+# the module object over this package's same-named wrapper ("'module' object
+# is not callable" for every caller of ops.flash_attention from then on);
+# re-claim the name here — later `import medfusion_tpu.ops.flash_attention`
+# statements hit sys.modules and do NOT re-bind the parent attribute.
+from medfusion_tpu.ops.flash_attention import (  # noqa: E402
+    flash_attention as _FA_IMPL,
+)
+
+flash_attention = _FLASH_WRAPPER
 
 
 def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5, apply_silu=True,

@@ -78,3 +78,27 @@ def test_block_integration_fused_matches_unfused():
     finally:
         ops.enable_fused_group_norm(False)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_switch_survives_repeated_calls():
+    """Regression: the lazy submodule import used to shadow the ops package's
+    same-named wrapper function, so the SECOND compute_attention call in any
+    trace crashed with "'module' object is not callable"."""
+    import jax
+    import jax.numpy as jnp
+
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.nn.attention import compute_attention
+
+    ops.enable_flash_attention(True)
+    try:
+        q = jnp.ones((1, 128, 128))
+
+        def f(q):
+            a = compute_attention(q, q, q, 2, 0.3)
+            return jnp.sum(compute_attention(a, q, q, 2, 0.3))
+
+        assert bool(jnp.isfinite(jax.jit(f)(q)))
+        assert callable(ops.flash_attention)
+    finally:
+        ops.enable_flash_attention(False)
