@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 
 DEFAULT_BLOCK_Q = 512
+# Below this KV length the naive XLA softmax path is faster on-chip than the
+# Pallas kernel (measured: kernel 1.55-1.59x at 1024-4096 tokens, slower at
+# the 16-256-token UNet lower levels -- end-to-end A/B in PARITY.md).
+MIN_KV_TOKENS = 1024
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 
@@ -72,13 +76,17 @@ def flash_attention(
 
     ``scale`` is applied to BOTH q and k (reference double scaling). Falls back
     to the naive einsum path for shapes the blocking doesn't divide (cross
-    attention with a single embedding token, tiny test shapes).
+    attention with a single embedding token, tiny test shapes) AND for short
+    sequences: measured end-to-end on the v5e (PARITY.md "attention-enabled
+    program"), the Pallas kernel wins at >=1024 tokens (1.55-1.59x in
+    isolation) but loses to XLA's fused softmax at the UNet's 16-256-token
+    lower levels — shape-aware dispatch keeps the global switch a win.
     """
     b, h, n, d = q.shape
     m = k.shape[2]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
-    if n % block_q or m % block_k:
+    if n % block_q or m % block_k or m < MIN_KV_TOKENS:
         sm = jax.nn.softmax(
             jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1
         )
