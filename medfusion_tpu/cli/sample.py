@@ -91,15 +91,11 @@ def main(argv=None):
 
     clf = clf_params = None
     if args.classifier_ckpt:
-        from medfusion_tpu.cli.train_classifier import build_classifier
+        from medfusion_tpu.cli.train_classifier import load_classifier
 
-        clf = build_classifier(p, args.classifier_model_channels,
-                               args.classifier_pool)
-        h, w, c = p.latent_shape
-        init = clf.init(jax.random.PRNGKey(0), np.zeros((1, h, w, c), np.float32),
-                        np.zeros((1,), np.int32))["params"]
-        template = TrainState.create(init, optax.adamw(1e-4))
-        clf_params = C.restore_checkpoint(args.classifier_ckpt, template).params
+        clf, clf_params = load_classifier(p, args.classifier_ckpt,
+                                          args.classifier_model_channels,
+                                          args.classifier_pool)
     out = Path(args.out)
     steps = min(args.steps, p.timesteps)
 

@@ -45,13 +45,33 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 steps")
+    ap.add_argument("--classifier-ckpt", default=None,
+                    help="noisy-latent classifier run dir: classifier-guided "
+                         "bulk generation (label doubles as guidance target)")
+    ap.add_argument("--classifier-scale", type=float, default=1.0)
+    ap.add_argument("--classifier-model-channels", type=int, default=64)
+    ap.add_argument("--classifier-pool", default="adaptive",
+                    choices=("adaptive", "attention", "spatial", "spatial_v2"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.classifier_ckpt and (args.sampler != "ddim"
+                                 or args.encoder_key_every > 1):
+        ap.error("--classifier-ckpt guidance is wired into the plain DDIM "
+                 "sampler only; drop --sampler dpmpp / --encoder-key-every")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
     mesh = make_mesh(n_model=1)
     n_data = mesh.shape["data"]
+
+    classifier_apply = None
+    if args.classifier_ckpt:
+        from medfusion_tpu.cli.train_classifier import load_classifier
+
+        clf, clf_params = load_classifier(p, args.classifier_ckpt,
+                                          args.classifier_model_channels,
+                                          args.classifier_pool)
+        classifier_apply = lambda x, t: clf.apply({"params": clf_params}, x, t)
 
     labels = list(range(p.num_classes)) if p.num_classes else [None]
     for steps in args.steps_list:
@@ -59,7 +79,9 @@ def main(argv=None):
         sampler = make_sharded_sampler(pipe, mesh, p.latent_shape, steps=steps,
                                        use_ddim=True, guidance_scale=args.guidance,
                                        encoder_key_every=args.encoder_key_every,
-                                       sampler=args.sampler)
+                                       sampler=args.sampler,
+                                       classifier_apply=classifier_apply,
+                                       classifier_scale=args.classifier_scale)
         for label in labels:
             out_dir = Path(args.out) / f"steps_{steps}" / f"label_{label}"
             out_dir.mkdir(parents=True, exist_ok=True)

@@ -120,3 +120,15 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def load_classifier(p, ckpt, model_channels: int = 64,
+                    pool: str = "adaptive"):
+    """Restore a trained classifier run dir -> ``(module, params)``."""
+    clf = build_classifier(p, model_channels, pool)
+    h, w, c = p.latent_shape
+    init = clf.init(jax.random.PRNGKey(0),
+                    np.zeros((1, h, w, c), np.float32),
+                    np.zeros((1,), np.int32))["params"]
+    template = TrainState.create(init, optax.adamw(1e-4))
+    return clf, C.restore_checkpoint(ckpt, template).params

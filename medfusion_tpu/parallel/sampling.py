@@ -29,18 +29,36 @@ def make_sharded_sampler(
     decode: bool = True,
     encoder_key_every: int = 1,
     sampler: str = "ddim",  # 'ddim' | 'dpmpp' (DPM-Solver++(2M))
+    classifier_apply=None,
+    classifier_scale: float = 0.0,
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
 
     ``num_samples`` must be divisible by the data-axis size. ``condition`` /
     ``un_cond`` are optional int [num_samples] arrays (sharded alike).
+
+    ``classifier_apply(x_t, t) -> [N, K]`` enables classifier guidance
+    (arXiv:2105.05233) in the sharded bulk path: the per-call ``condition``
+    doubles as the guidance label, so each chunk steers toward its class.
+    Plain-DDIM sampler only.
     """
+    if classifier_apply is not None and (sampler != "ddim"
+                                         or encoder_key_every > 1):
+        raise ValueError("classifier guidance is wired into the plain DDIM "
+                         "sampler only")
 
     def _sample(params, rng, condition, un_cond, num_samples):
         k_init, k_loop = jax.random.split(rng)
         x_T = jax.random.normal(k_init, (num_samples, *img_size))
         x_T = jax.lax.with_sharding_constraint(x_T, batch_sharding(mesh, x_T.ndim))
+        classifier_grad = None
+        if classifier_apply is not None:
+            from medfusion_tpu.pipelines.diffusion import make_classifier_grad
+
+            label = (condition if condition is not None
+                     else jnp.zeros((num_samples,), jnp.int32))
+            classifier_grad = make_classifier_grad(classifier_apply, label)
         if sampler == "dpmpp":
             return pipeline.denoise_dpmpp(
                 params, x_T, condition=condition, steps=steps,
@@ -56,6 +74,8 @@ def make_sharded_sampler(
             params, x_T, k_loop, condition=condition,
             steps=steps, use_ddim=use_ddim, guidance_scale=guidance_scale,
             un_cond=un_cond, eta=eta, decode=decode,
+            classifier_grad=classifier_grad,
+            classifier_scale=classifier_scale,
         )
 
     out_sh = batch_sharding(mesh, 1 + len(img_size))

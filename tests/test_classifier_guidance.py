@@ -139,3 +139,51 @@ def test_classifier_guidance_requires_eps_objective():
                       jnp.zeros((1,), jnp.int32),
                       classifier_grad=lambda x, t: x,
                       classifier_scale=1.0)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_guided_sampling_matches_single_device():
+    """make_sharded_sampler(classifier_apply=...) over the 8-device mesh
+    equals the unsharded guided denoise (condition doubles as the guidance
+    label per slot)."""
+    from medfusion_tpu.parallel import make_mesh, make_sharded_sampler
+
+    pipe = _pipe()
+    mus = jnp.asarray([-1.0, 1.0])
+
+    def classifier(x_t, tt):
+        d = [-0.5 * jnp.sum((x_t - m) ** 2, axis=(1, 2, 3)) for m in mus]
+        return jnp.stack(d, axis=-1)
+
+    mesh = make_mesh(n_model=1)
+    n = 2 * mesh.shape["data"]
+    cond = jnp.asarray([i % 2 for i in range(n)], jnp.int32)
+    sampler = make_sharded_sampler(
+        pipe, mesh, (4, 4, 1), steps=10, use_ddim=True, eta=0.0,
+        decode=False, classifier_apply=classifier, classifier_scale=3.0)
+    rng = jax.random.PRNGKey(7)
+    got = np.asarray(sampler({"noise_estimator": {}}, rng, n, condition=cond))
+
+    # reproduce unsharded: same rng split + init noise as _sample
+    k_init, k_loop = jax.random.split(rng)
+    x_T = jax.random.normal(k_init, (n, 4, 4, 1))
+    from medfusion_tpu.pipelines.diffusion import make_classifier_grad
+
+    want = np.asarray(pipe.denoise(
+        {"noise_estimator": {}}, x_T, k_loop, condition=cond, steps=10,
+        use_ddim=True, eta=0.0, decode=False,
+        classifier_grad=make_classifier_grad(classifier, cond),
+        classifier_scale=3.0))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # guidance actually pulled the two label populations apart
+    assert float(np.mean(want[1::2])) > float(np.mean(want[0::2]))
+
+
+def test_sharded_sampler_rejects_classifier_with_fast_paths():
+    from medfusion_tpu.parallel import make_mesh, make_sharded_sampler
+
+    pipe = _pipe()
+    mesh = make_mesh(n_model=1)
+    with pytest.raises(ValueError):
+        make_sharded_sampler(pipe, mesh, (4, 4, 1), sampler="dpmpp",
+                             classifier_apply=lambda x, t: x)
