@@ -81,10 +81,9 @@ def main(argv=None):
                     choices=("adaptive", "attention", "spatial", "spatial_v2"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
-    if args.classifier_ckpt and (args.sampler != "ddim"
-                                 or args.encoder_key_every > 1):
-        ap.error("--classifier-ckpt guidance is wired into the plain DDIM "
-                 "sampler only; drop --sampler dpmpp / --encoder-key-every")
+    if args.classifier_ckpt and args.encoder_key_every > 1:
+        ap.error("--classifier-ckpt guidance is not wired into the "
+                 "encoder-propagation fast sampler; drop --encoder-key-every")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
@@ -104,11 +103,20 @@ def main(argv=None):
         cond = None if cond_val is None else jnp.full((args.n,), cond_val, jnp.int32)
         rng = jax.random.PRNGKey(args.seed)  # same noise across conditions (sample.py:37)
         gs = args.guidance if cond_val is not None else 1.0
+        guided = {}
+        if clf is not None and cond_val is not None:
+            from medfusion_tpu.pipelines.diffusion import make_classifier_grad
+
+            guided = dict(
+                classifier_grad=make_classifier_grad(
+                    lambda x, t: clf.apply({"params": clf_params}, x, t),
+                    jnp.full((args.n,), cond_val, jnp.int32)),
+                classifier_scale=args.classifier_scale)
         if args.sampler == "dpmpp":
             k1, _ = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
             imgs = pipe.denoise_dpmpp(params, x_T, condition=cond, steps=steps,
-                                      guidance_scale=gs)
+                                      guidance_scale=gs, **guided)
         elif args.encoder_key_every > 1:
             k1, k2 = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
@@ -116,15 +124,6 @@ def main(argv=None):
                                      guidance_scale=gs,
                                      encoder_key_every=args.encoder_key_every)
         else:
-            guided = {}
-            if clf is not None and cond_val is not None:
-                from medfusion_tpu.pipelines.diffusion import make_classifier_grad
-
-                guided = dict(
-                    classifier_grad=make_classifier_grad(
-                        lambda x, t: clf.apply({"params": clf_params}, x, t),
-                        jnp.full((args.n,), cond_val, jnp.int32)),
-                    classifier_scale=args.classifier_scale)
             imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
                                steps=steps, use_ddim=True, guidance_scale=gs,
                                **guided)

@@ -54,10 +54,9 @@ def main(argv=None):
                     choices=("adaptive", "attention", "spatial", "spatial_v2"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
-    if args.classifier_ckpt and (args.sampler != "ddim"
-                                 or args.encoder_key_every > 1):
-        ap.error("--classifier-ckpt guidance is wired into the plain DDIM "
-                 "sampler only; drop --sampler dpmpp / --encoder-key-every")
+    if args.classifier_ckpt and args.encoder_key_every > 1:
+        ap.error("--classifier-ckpt guidance is not wired into the "
+                 "encoder-propagation fast sampler; drop --encoder-key-every")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)

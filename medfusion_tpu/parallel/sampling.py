@@ -41,12 +41,11 @@ def make_sharded_sampler(
     ``classifier_apply(x_t, t) -> [N, K]`` enables classifier guidance
     (arXiv:2105.05233) in the sharded bulk path: the per-call ``condition``
     doubles as the guidance label, so each chunk steers toward its class.
-    Plain-DDIM sampler only.
+    DDIM and DPM-Solver++ samplers (not the encoder-propagation fast path).
     """
-    if classifier_apply is not None and (sampler != "ddim"
-                                         or encoder_key_every > 1):
-        raise ValueError("classifier guidance is wired into the plain DDIM "
-                         "sampler only")
+    if classifier_apply is not None and encoder_key_every > 1:
+        raise ValueError("classifier guidance is not wired into the "
+                         "encoder-propagation fast sampler")
 
     def _sample(params, rng, condition, un_cond, num_samples):
         k_init, k_loop = jax.random.split(rng)
@@ -63,6 +62,8 @@ def make_sharded_sampler(
             return pipeline.denoise_dpmpp(
                 params, x_T, condition=condition, steps=steps,
                 guidance_scale=guidance_scale, un_cond=un_cond, decode=decode,
+                classifier_grad=classifier_grad,
+                classifier_scale=classifier_scale,
             )
         if encoder_key_every > 1:
             return pipeline.denoise_fast(

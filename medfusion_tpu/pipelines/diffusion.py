@@ -377,6 +377,8 @@ class DiffusionPipeline:
         guidance_scale: float = 1.0,
         un_cond=None,
         decode: bool = True,
+        classifier_grad=None,
+        classifier_scale: float = 0.0,
     ):
         """DPM-Solver++(2M) — deterministic second-order multistep sampler
         (Lu et al., arXiv:2211.01095), opt-in and BEYOND the reference (which
@@ -387,9 +389,15 @@ class DiffusionPipeline:
 
         Works for both estimator objectives via the x0-prediction
         formulation; ``rng`` is unused (deterministic) and accepted for API
-        symmetry.
+        symmetry. ``classifier_grad``/``classifier_scale``: classifier
+        guidance (see :meth:`estimate`) — the guided eps defines the guided
+        score the solver integrates; eps-objective only.
         """
         assert not self.use_self_conditioning, "dpmpp sampler: self-cond unsupported"
+        if classifier_grad is not None:
+            assert self.estimator_objective == "x_T", (
+                "classifier guidance shifts the eps prediction; use the "
+                "eps ('x_T') objective")
         sched = self.scheduler
         n = sched.timesteps if steps is None else steps
         assert 2 <= n <= sched.timesteps, (
@@ -411,6 +419,9 @@ class DiffusionPipeline:
                                      guidance_scale, un_cond)
             if self.estimate_variance:
                 pred, _ = jnp.split(pred, 2, axis=-1)
+            if classifier_grad is not None:
+                shift = S.extract(sched.sqrt_one_minus_alphas_cumprod, t_b, x.ndim)
+                pred = pred - classifier_scale * shift * classifier_grad(x, t_b)
             if self.estimator_objective == "x_T":
                 return S.estimate_x_0(sched, x, pred, t_b, clip=self.clip_x0)
             return jnp.clip(pred, -1.0, 1.0) if self.clip_x0 else pred

@@ -185,5 +185,32 @@ def test_sharded_sampler_rejects_classifier_with_fast_paths():
     pipe = _pipe()
     mesh = make_mesh(n_model=1)
     with pytest.raises(ValueError):
-        make_sharded_sampler(pipe, mesh, (4, 4, 1), sampler="dpmpp",
+        make_sharded_sampler(pipe, mesh, (4, 4, 1), encoder_key_every=3,
                              classifier_apply=lambda x, t: x)
+
+
+def test_dpmpp_guided_sampling_steers_by_label():
+    """Classifier guidance through DPM-Solver++(2M): the guided eps defines
+    the guided score the solver integrates — flipping the label flips the
+    population mean, exactly as with the DDIM path."""
+    pipe = _pipe()
+    mus = jnp.asarray([-1.5, 1.5])
+
+    def classifier(x_t, tt):
+        d = [-0.5 * jnp.sum((x_t - m) ** 2, axis=(1, 2, 3)) for m in mus]
+        return jnp.stack(d, axis=-1)
+
+    x_init = jax.random.normal(jax.random.PRNGKey(10), (8, 4, 4, 1))
+
+    def run(label_val, scale):
+        label = jnp.full((8,), label_val, jnp.int32)
+        out = pipe.denoise_dpmpp(
+            {"noise_estimator": {}}, x_init, steps=20, decode=False,
+            classifier_grad=make_classifier_grad(classifier, label),
+            classifier_scale=scale)
+        return float(jnp.mean(out))
+
+    base = run(0, 0.0)
+    lo = run(0, 4.0)
+    hi = run(1, 4.0)
+    assert lo < base < hi, (lo, base, hi)
