@@ -175,6 +175,9 @@ def main():
     ap.add_argument("--flash", action="store_true",
                     help="route attention through the Pallas flash kernel")
     args = ap.parse_args()
+    if args.flash and args.attention == "none":
+        ap.error("--flash has no effect without attention layers; "
+                 "add --attention spatial|linear")
 
     pipe, params = build(args.preset, args.attention)
     # FLOP counting runs on the XLA path (same math); the Pallas switch is

@@ -140,7 +140,6 @@ def interpolate(args):
     from medfusion_tpu.cli.sample import load_pipeline
 
     p = PRESETS[args.preset]
-    args.estimator = getattr(args, "estimator", "unet")
     pipe, params = load_pipeline(args, p)
     ds = build_dataset(p, args.data_root, n_synthetic=max(args.n, 4), seed=args.seed)
     x1 = jnp.asarray(ds[args.i1 % len(ds)]["source"])[None]
@@ -150,12 +149,22 @@ def interpolate(args):
     z1 = pipe.encode_latent(params, x1, k1)
     z2 = pipe.encode_latent(params, x2, k2)
     i_step = min(args.steps, p.timesteps - 1)
-    rows = [np.asarray(x1)[0]]
-    for lam in np.linspace(0.0, 1.0, args.n):
-        out = pipe.interpolate(params, k_loop, z1, z2, i=i_step,
-                               lam=float(lam), use_ddim=True)
-        rows.append(np.asarray(out)[0])
-    rows.append(np.asarray(x2)[0])
+    # Reference semantics (diffusion_pipeline.py:320-332): noise each latent
+    # ONCE to step i, lerp, denoise — but all lambdas ride ONE batched
+    # denoise program (per-lambda eager loops would pay the axon
+    # per-dispatch latency n times over).
+    from medfusion_tpu.core import schedules as S
+
+    k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 1))
+    tvec = jnp.full((1,), i_step, jnp.int32)
+    z1t = S.q_sample(pipe.scheduler, z1, tvec,
+                     jax.random.normal(k_n1, z1.shape, z1.dtype))
+    z2t = S.q_sample(pipe.scheduler, z2, tvec,
+                     jax.random.normal(k_n2, z2.shape, z2.dtype))
+    lams = jnp.linspace(0.0, 1.0, args.n).reshape(-1, 1, 1, 1)
+    x = (1.0 - lams) * z1t + lams * z2t  # broadcasts [n, H, W, C]
+    out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=True)
+    rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
     out_dir = Path(args.out)
     save_image_grid(np.stack(rows), out_dir / "interpolation.png",
                     nrow=len(rows))

@@ -118,10 +118,6 @@ def main(argv=None):
     print(f"done: {step} steps -> {ckpt_dir}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def load_classifier(p, ckpt, model_channels: int = 64,
                     pool: str = "adaptive"):
     """Restore a trained classifier run dir -> ``(module, params)``."""
@@ -132,3 +128,7 @@ def load_classifier(p, ckpt, model_channels: int = 64,
                     np.zeros((1,), np.int32))["params"]
     template = TrainState.create(init, optax.adamw(1e-4))
     return clf, C.restore_checkpoint(ckpt, template).params
+
+
+if __name__ == "__main__":
+    main()

@@ -178,12 +178,14 @@ def make_handler(state: DemoState):
                     self.send_error(400, f"unknown preset {preset!r}")
                     return
                 try:
-                    fut = state.batcher(preset).submit(
-                        seed=int(q.get("seed", 0)), cond=int(q.get("cond", 1)))
-                    arr = np.asarray(fut.result(timeout=600))
+                    seed = int(q.get("seed", 0))
+                    cond = int(q.get("cond", 1))
                 except ValueError:
                     self.send_error(400, "seed/cond must be integers")
                     return
+                try:
+                    fut = state.batcher(preset).submit(seed=seed, cond=cond)
+                    arr = np.asarray(fut.result(timeout=600))
                 except Exception as e:  # noqa: BLE001 - surface as HTTP 500
                     self.send_error(500, f"sampling failed: {type(e).__name__}")
                     return

@@ -30,7 +30,19 @@ def fused_group_norm_enabled() -> bool:
 
 def flash_attention(q, k, v, scale):
     """[B, H, N, D] flash attention (compiled Mosaic on TPU, interpret mode
-    on CPU — see :mod:`medfusion_tpu.ops.flash_attention`)."""
+    on CPU — see :mod:`medfusion_tpu.ops.flash_attention`).
+
+    Shape-aware: below ``MIN_KV_TOKENS`` XLA's fused softmax measures faster
+    on-chip than the kernel (PARITY.md "attention-enabled program"), so short
+    sequences take the naive path. Call the kernel module directly to force
+    the flash recurrence regardless of length (the tests do)."""
+    import jax.nn
+    import jax.numpy as jnp
+
+    if k.shape[2] < _MIN_KV_TOKENS:
+        sm = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", sm, v)
     return _FA_IMPL(q, k, v, scale)
 
 
@@ -42,6 +54,7 @@ _FLASH_WRAPPER = flash_attention
 # re-claim the name here — later `import medfusion_tpu.ops.flash_attention`
 # statements hit sys.modules and do NOT re-bind the parent attribute.
 from medfusion_tpu.ops.flash_attention import (  # noqa: E402
+    MIN_KV_TOKENS as _MIN_KV_TOKENS,
     flash_attention as _FA_IMPL,
 )
 

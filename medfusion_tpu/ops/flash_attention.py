@@ -21,7 +21,8 @@ import jax.numpy as jnp
 DEFAULT_BLOCK_Q = 512
 # Below this KV length the naive XLA softmax path is faster on-chip than the
 # Pallas kernel (measured: kernel 1.55-1.59x at 1024-4096 tokens, slower at
-# the 16-256-token UNet lower levels -- end-to-end A/B in PARITY.md).
+# the 16-256-token UNet lower levels -- end-to-end A/B in PARITY.md). The
+# ops package wrapper applies this; the kernel itself does not.
 MIN_KV_TOKENS = 1024
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
@@ -75,18 +76,18 @@ def flash_attention(
     """q: [B, H, N, D], k/v: [B, H, M, D] -> [B, H, N, D].
 
     ``scale`` is applied to BOTH q and k (reference double scaling). Falls back
-    to the naive einsum path for shapes the blocking doesn't divide (cross
-    attention with a single embedding token, tiny test shapes) AND for short
-    sequences: measured end-to-end on the v5e (PARITY.md "attention-enabled
-    program"), the Pallas kernel wins at >=1024 tokens (1.55-1.59x in
-    isolation) but loses to XLA's fused softmax at the UNet's 16-256-token
-    lower levels — shape-aware dispatch keeps the global switch a win.
+    to the naive einsum path ONLY for shapes the blocking doesn't divide
+    (cross attention with a single embedding token, tiny test shapes) — an
+    explicit call always runs the kernel where possible, so the interpret-mode
+    equivalence tests genuinely exercise the flash recurrence. The
+    speed-motivated short-sequence dispatch (``MIN_KV_TOKENS``) lives in the
+    :mod:`medfusion_tpu.ops` package wrapper, not here.
     """
     b, h, n, d = q.shape
     m = k.shape[2]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
-    if n % block_q or m % block_k or m < MIN_KV_TOKENS:
+    if n % block_q or m % block_k:
         sm = jax.nn.softmax(
             jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1
         )

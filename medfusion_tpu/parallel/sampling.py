@@ -55,9 +55,12 @@ def make_sharded_sampler(
         if classifier_apply is not None:
             from medfusion_tpu.pipelines.diffusion import make_classifier_grad
 
-            label = (condition if condition is not None
-                     else jnp.zeros((num_samples,), jnp.int32))
-            classifier_grad = make_classifier_grad(classifier_apply, label)
+            if condition is None:
+                # silently guiding everything toward class 0 would bias the
+                # generated distribution undetectably
+                raise ValueError("classifier guidance needs `condition` (the "
+                                 "per-sample guidance labels)")
+            classifier_grad = make_classifier_grad(classifier_apply, condition)
         if sampler == "dpmpp":
             return pipeline.denoise_dpmpp(
                 params, x_T, condition=condition, steps=steps,

@@ -102,3 +102,27 @@ def test_flash_attention_switch_survives_repeated_calls():
         assert callable(ops.flash_attention)
     finally:
         ops.enable_flash_attention(False)
+
+
+def test_ops_wrapper_dispatches_by_kv_length(monkeypatch):
+    """The package wrapper's speed heuristic: KV < MIN_KV_TOKENS -> naive
+    XLA path (kernel NOT invoked); >= threshold -> kernel. The kernel module
+    itself has no such short-circuit (its equivalence test must genuinely
+    exercise the flash recurrence)."""
+    import jax.numpy as jnp
+
+    import medfusion_tpu.ops as ops
+
+    calls = []
+
+    def fake_impl(q, k, v, scale):
+        calls.append(k.shape[2])
+        return q
+
+    monkeypatch.setattr(ops, "_FA_IMPL", fake_impl)
+    small = jnp.ones((1, 2, 256, 64))
+    big = jnp.ones((1, 2, 1024, 64))
+    ops.flash_attention(small, small, small, 0.3)
+    assert calls == []  # short sequence: naive path, kernel untouched
+    ops.flash_attention(big, big, big, 0.3)
+    assert calls == [1024]
