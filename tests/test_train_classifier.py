@@ -80,3 +80,26 @@ def test_build_classifier_attention_pool_initializes():
     logits = clf.apply({"params": params}, jnp.zeros((2, h, w, c)),
                        jnp.zeros((2,), jnp.int32))
     assert logits.shape == (2, p.num_classes)
+
+
+def test_sample_dataset_cli_guided_bulk_path(tmp_path):
+    """End-to-end guided BULK generation: train_classifier checkpoint ->
+    sample_dataset --classifier-ckpt (mesh-sharded chunks, label doubles as
+    the guidance target) -> per-label fake_*.png files. Also the first
+    direct CLI coverage of sample_dataset itself."""
+    from medfusion_tpu.cli import sample_dataset, train_classifier
+
+    clf_out = tmp_path / "clf"
+    train_classifier.main([
+        "--preset", "smoke", "--max-steps", "2", "--ckpt-every", "2",
+        "--model-channels", "32", "--out", str(clf_out)])
+
+    out = tmp_path / "fake"
+    sample_dataset.main([
+        "--preset", "smoke", "--n-samples", "8", "--chunk", "8",
+        "--steps-list", "4", "--out", str(out),
+        "--classifier-ckpt", str(clf_out / "checkpoints"),
+        "--classifier-model-channels", "32", "--classifier-scale", "1.0"])
+    for label in (0, 1):
+        files = list((out / "steps_4" / f"label_{label}").glob("fake_*.png"))
+        assert len(files) == 8, (label, files)
