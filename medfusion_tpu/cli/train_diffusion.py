@@ -65,6 +65,11 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--sample-every", type=int, default=0, help="0 = off")
     ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--objective", choices=("x_T", "x_0", "v"),
+                    default="x_T",
+                    help="estimator parameterization: eps (reference "
+                         "default, train_diffusion.py:119), x_0, or "
+                         "v-prediction (arXiv:2202.00512)")
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
@@ -105,7 +110,7 @@ def _train(args, resume: bool):
     sched = build_scheduler(p)
     pipe = DiffusionPipeline(
         scheduler=sched, noise_estimator=unet, latent_embedder=vae,
-        estimator_objective="x_T", estimate_variance=False,
+        estimator_objective=args.objective, estimate_variance=False,
         use_self_conditioning=False,
         classifier_free_guidance_dropout=p.cfg_dropout,
         do_input_centering=False, clip_x0=False, loss="l1",

@@ -301,6 +301,38 @@ def ddim_step(
     return x_0 * jnp.sqrt(alpha_next) + c * x_T + sigma * noise
 
 
+def v_target(
+    sched: GaussianDiffusionSchedule,
+    x_0: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """v-prediction target v = sqrt(abar_t)*eps - sqrt(1-abar_t)*x_0
+    (Salimans & Ho, *Progressive Distillation*, arXiv:2202.00512 §2.4 —
+    beyond the reference, which ships eps/x_0 objectives only)."""
+    ndim = x_0.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, ndim) * eps
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, ndim) * x_0
+    )
+
+
+def estimate_x_0_from_v(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    v: jnp.ndarray,
+    t: jnp.ndarray,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """x_0 = sqrt(abar_t)*x_t - sqrt(1-abar_t)*v (arXiv:2202.00512)."""
+    ndim = x_t.ndim
+    x_0 = (
+        extract(sched.sqrt_alphas_cumprod, t, ndim) * x_t
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, ndim) * v
+    )
+    return clip_x0(x_0) if clip else x_0
+
+
 def kl_gaussians(mean1, logvar1, mean2, logvar2):
     """Closed-form KL(N1||N2) per element (utils/math_utils.py:3-5)."""
     return 0.5 * (

@@ -62,7 +62,7 @@ class DiffusionPipeline:
     scheduler: GaussianDiffusionSchedule
     noise_estimator: Any  # flax module: (x_t, t, condition, self_cond, cond_mask) -> (y, y_ver)
     latent_embedder: Any = None  # flax module with encode/decode, or None
-    estimator_objective: str = "x_T"  # 'x_T' (eps) or 'x_0'
+    estimator_objective: str = "x_T"  # 'x_T' (eps), 'x_0', or 'v' (2202.00512)
     estimate_variance: bool = False
     use_self_conditioning: bool = False
     classifier_free_guidance_dropout: float = 0.5
@@ -74,7 +74,7 @@ class DiffusionPipeline:
     compute_dtype: Any = None
 
     def __post_init__(self):
-        if self.estimator_objective not in ("x_T", "x_0"):
+        if self.estimator_objective not in ("x_T", "x_0", "v"):
             raise ValueError(f"unknown estimator_objective {self.estimator_objective!r}")
 
     # ------------------------------------------------------------------
@@ -151,6 +151,8 @@ class DiffusionPipeline:
                 pred_sc, _ = jnp.split(pred_sc, 2, axis=-1)
             if self.estimator_objective == "x_T":
                 self_cond = S.estimate_x_0(sched, x_t, pred_sc, t, clip=self.clip_x0)
+            elif self.estimator_objective == "v":
+                self_cond = S.estimate_x_0_from_v(sched, x_t, pred_sc, t, clip=self.clip_x0)
             else:
                 self_cond = S.estimate_x_T(sched, x_t, pred_sc, t, clip=self.clip_x0)
             self_cond = jax.lax.stop_gradient(self_cond)
@@ -169,7 +171,12 @@ class DiffusionPipeline:
         if self.estimate_variance:
             pred, pred_var = jnp.split(pred, 2, axis=-1)
 
-        target = x_T if self.estimator_objective == "x_T" else x_0
+        if self.estimator_objective == "x_T":
+            target = x_T
+        elif self.estimator_objective == "v":
+            target = S.v_target(sched, x_0, x_T, t)
+        else:
+            target = x_0
 
         # Pyramid weights 1/2^i, normalized (reference :141-146).
         weights = [1 / 2**i for i in range(1 + len(pred_vertical))]
@@ -183,6 +190,8 @@ class DiffusionPipeline:
             pred_logvar = S.posterior_variance(sched, t, x_t.ndim, log=True, var_scale=var_scale)
             if self.estimator_objective == "x_T":
                 pred_x_0 = S.estimate_x_0(sched, x_t, x_T, t, clip=self.clip_x0)
+            elif self.estimator_objective == "v":
+                pred_x_0 = S.estimate_x_0_from_v(sched, x_t, pred, t, clip=self.clip_x0)
             else:
                 pred_x_0 = pred
             pred_mean = jax.lax.stop_gradient(S.posterior_mean(sched, x_t, pred_x_0, t))
@@ -290,6 +299,16 @@ class DiffusionPipeline:
                 )
             x_T = S.estimate_x_T(sched, x_t, x_0=pred, t=t, clip=self.clip_x0)
             new_self_cond = x_T
+        elif self.estimator_objective == "v":
+            x_0v = S.estimate_x_0_from_v(sched, x_t, pred, t, clip=self.clip_x0)
+            if cold_diffusion:
+                x_t_prior, x_0 = S.cold_diffusion_step(sched, x_t, t, x_0v, clip=self.clip_x0)
+            else:
+                x_t_prior, x_0 = S.ancestral_step(
+                    sched, x_t, t, x_0v, noise, clip=self.clip_x0, var_scale=var_scale
+                )
+            x_T = S.estimate_x_T(sched, x_t, x_0=x_0v, t=t, clip=self.clip_x0)
+            new_self_cond = x_0
         else:
             if cold_diffusion:
                 x_0c = S.estimate_x_0(sched, x_t, pred, t, clip=self.clip_x0)
@@ -424,6 +443,8 @@ class DiffusionPipeline:
                 pred = pred - classifier_scale * shift * classifier_grad(x, t_b)
             if self.estimator_objective == "x_T":
                 return S.estimate_x_0(sched, x, pred, t_b, clip=self.clip_x0)
+            if self.estimator_objective == "v":
+                return S.estimate_x_0_from_v(sched, x, pred, t_b, clip=self.clip_x0)
             return jnp.clip(pred, -1.0, 1.0) if self.clip_x0 else pred
 
         def body(carry, inp):
@@ -530,17 +551,17 @@ class DiffusionPipeline:
             if self.estimate_variance:
                 pred, _ = jnp.split(pred, 2, axis=-1)
             anc_noise = jax.random.normal(key, x.shape, x.dtype)
+            tb = jnp.full((b,), t_scalar, jnp.int32)
             if self.estimator_objective == "x_T":
                 x_prior, x_0 = S.ancestral_step_from_eps(
-                    sched, x, jnp.full((b,), t_scalar, jnp.int32), pred, anc_noise,
-                    clip=self.clip_x0)
+                    sched, x, tb, pred, anc_noise, clip=self.clip_x0)
                 x_T = pred
             else:
+                x0p = (S.estimate_x_0_from_v(sched, x, pred, tb, clip=self.clip_x0)
+                       if self.estimator_objective == "v" else pred)
                 x_prior, x_0 = S.ancestral_step(
-                    sched, x, jnp.full((b,), t_scalar, jnp.int32), pred, anc_noise,
-                    clip=self.clip_x0)
-                x_T = S.estimate_x_T(sched, x, x_0=pred,
-                                     t=jnp.full((b,), t_scalar, jnp.int32), clip=self.clip_x0)
+                    sched, x, tb, x0p, anc_noise, clip=self.clip_x0)
+                x_T = S.estimate_x_T(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
             x_ddim = S.ddim_step(sched, x_0, x_T, t_scalar, t_next,
                                  jnp.zeros_like(x) if eta == 0.0 else anc_noise, eta)
             x_new = jnp.where(more, x_ddim, x_prior)
