@@ -32,7 +32,8 @@ def load_pipeline(args, p):
     vae = build_vae(p)
     unet = build_unet(p, getattr(args, "estimator", "unet"))
     pipe = DiffusionPipeline(scheduler=build_scheduler(p), noise_estimator=unet,
-                             latent_embedder=vae, do_input_centering=False, clip_x0=False)
+                             latent_embedder=vae, do_input_centering=False, clip_x0=False,
+                             estimator_objective=getattr(args, "objective", "x_T"))
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
     h, w, c = p.latent_shape
     z0 = np.zeros((1, h, w, c), np.float32)
@@ -69,6 +70,8 @@ def main(argv=None):
     ap.add_argument("--estimator", default="unet",
                     choices=("unet", "unet_legacy", "openai", "lucidrains"),
                     help="noise-estimator family the checkpoint was trained with")
+    ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
+                    help="parameterization the checkpoint was trained with")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
                          "25-50 steps (beyond-reference, arXiv:2211.01095)")

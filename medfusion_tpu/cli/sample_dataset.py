@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--estimator", default="unet",
                     choices=("unet", "unet_legacy", "openai", "lucidrains"),
                     help="noise-estimator family the checkpoint was trained with")
+    ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
+                    help="parameterization the checkpoint was trained with")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 steps")
     ap.add_argument("--classifier-ckpt", default=None,
