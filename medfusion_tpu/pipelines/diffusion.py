@@ -191,7 +191,11 @@ class DiffusionPipeline:
             if self.estimator_objective == "x_T":
                 pred_x_0 = S.estimate_x_0(sched, x_t, x_T, t, clip=self.clip_x0)
             elif self.estimator_objective == "v":
-                pred_x_0 = S.estimate_x_0_from_v(sched, x_t, pred, t, clip=self.clip_x0)
+                # mirror the eps branch's reference convention (the TRUE
+                # target reconstructs x_0, diffusion_pipeline.py:160): the
+                # KL then trains var_scale alone, not mean error
+                pred_x_0 = S.estimate_x_0_from_v(
+                    sched, x_t, target, t, clip=self.clip_x0)
             else:
                 pred_x_0 = pred
             pred_mean = jax.lax.stop_gradient(S.posterior_mean(sched, x_t, pred_x_0, t))
@@ -300,6 +304,7 @@ class DiffusionPipeline:
             x_T = S.estimate_x_T(sched, x_t, x_0=pred, t=t, clip=self.clip_x0)
             new_self_cond = x_T
         elif self.estimator_objective == "v":
+            # convert to an x0-estimate, then share the x_0 branch's step
             x_0v = S.estimate_x_0_from_v(sched, x_t, pred, t, clip=self.clip_x0)
             if cold_diffusion:
                 x_t_prior, x_0 = S.cold_diffusion_step(sched, x_t, t, x_0v, clip=self.clip_x0)
@@ -406,9 +411,10 @@ class DiffusionPipeline:
         whole solver is ONE ``lax.scan``; n estimator forwards for n steps
         (the final forward returns the data prediction at t=0).
 
-        Works for both estimator objectives via the x0-prediction
-        formulation; ``rng`` is unused (deterministic) and accepted for API
-        symmetry. ``classifier_grad``/``classifier_scale``: classifier
+        Works for all three estimator objectives (eps/x_0/v) via the
+        x0-prediction formulation; ``rng`` is unused (deterministic) and
+        accepted for API symmetry.
+        ``classifier_grad``/``classifier_scale``: classifier
         guidance (see :meth:`estimate`) — the guided eps defines the guided
         score the solver integrates; eps-objective only.
         """

@@ -136,3 +136,60 @@ def test_unknown_objective_rejected():
     with pytest.raises(ValueError):
         DiffusionPipeline(scheduler=_sched(), noise_estimator=None,
                           estimator_objective="nope")
+
+
+def test_v_with_self_cond_and_learned_variance_train_step():
+    """Pins the untested v combinations: self-conditioning pre-pass (x_0
+    estimate from v) and learned-variance KL (pred_x_0 from the TRUE v
+    target, mirroring the eps branch's reference convention)."""
+    from medfusion_tpu.models.unet import UNet
+    from medfusion_tpu.train import TrainState, make_diffusion_train_step
+    import optax
+
+    unet = UNet(in_ch=2, out_ch=2, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                strides=(1, 2), time_emb_dim=16, cond_emb_num_classes=2,
+                deep_supervision=0, use_attention="none",
+                estimate_variance=True, use_self_conditioning=True,
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    pipe = DiffusionPipeline(scheduler=_sched(), noise_estimator=unet,
+                             latent_embedder=None, estimator_objective="v",
+                             estimate_variance=True,
+                             use_self_conditioning=True,
+                             do_input_centering=False)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((2, 8, 8, 2))
+    params = unet.init(key, z, jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    state = TrainState.create(params, optax.adam(1e-3))
+    step = make_diffusion_train_step(pipe, donate=False)
+    batch = {"source": jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (2, 8, 8, 2)), jnp.float32),
+        "target": jnp.zeros((2,), jnp.int32)}
+    for i in range(3):
+        state, m = step(state, None, batch, jax.random.fold_in(key, i))
+        assert np.isfinite(float(m["loss"])), m
+        assert np.isfinite(float(m["variance_scale"]))
+
+
+def test_v_fast_sampler_matches_exact_at_key_every_one():
+    """denoise_fast(key_every=1) must equal denoise() bitwise for the v
+    objective (pins the fast sampler's v branch)."""
+    from medfusion_tpu.models.unet import UNet
+
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                strides=(1, 2), time_emb_dim=16, cond_emb_num_classes=None,
+                deep_supervision=0, use_attention="none",
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    pipe = DiffusionPipeline(scheduler=_sched(), noise_estimator=unet,
+                             latent_embedder=None, estimator_objective="v",
+                             clip_x0=True, do_input_centering=False)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 8, 8, 1))
+    params = {"noise_estimator": unet.init(key, x, jnp.zeros((2,), jnp.int32),
+                                           None)["params"]}
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    exact = pipe.denoise(params, x_T, jax.random.PRNGKey(2), steps=8,
+                         use_ddim=True, eta=0.0, decode=False)
+    fast = pipe.denoise_fast(params, x_T, jax.random.PRNGKey(2), steps=8,
+                             eta=0.0, decode=False, encoder_key_every=1)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=1e-6)
