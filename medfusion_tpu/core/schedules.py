@@ -333,6 +333,25 @@ def estimate_x_0_from_v(
     return clip_x0(x_0) if clip else x_0
 
 
+def estimate_x_T_from_v(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    v: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """eps = sqrt(1-abar_t)*x_t + sqrt(abar_t)*v (arXiv:2202.00512).
+
+    Unlike routing through the x_0 estimate (``estimate_x_T`` divides by
+    sqrt(1/abar_t - 1), which is inf at abar_t = 0), this form stays finite
+    for every t — the prerequisite for zero-terminal-SNR schedules
+    (arXiv:2305.08891)."""
+    ndim = x_t.ndim
+    return (
+        extract(sched.sqrt_one_minus_alphas_cumprod, t, ndim) * x_t
+        + extract(sched.sqrt_alphas_cumprod, t, ndim) * v
+    )
+
+
 def kl_gaussians(mean1, logvar1, mean2, logvar2):
     """Closed-form KL(N1||N2) per element (utils/math_utils.py:3-5)."""
     return 0.5 * (

@@ -193,3 +193,27 @@ def test_v_fast_sampler_matches_exact_at_key_every_one():
     fast = pipe.denoise_fast(params, x_T, jax.random.PRNGKey(2), steps=8,
                              eta=0.0, decode=False, encoder_key_every=1)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=1e-6)
+
+
+def test_eps_from_v_identity_and_terminal_finiteness():
+    """estimate_x_T_from_v equals the eps implied by (x_t, v) and stays
+    finite even where the x_0-roundtrip form (1/sqrt(abar)) diverges."""
+    sched = _sched()
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.standard_normal((3, 4, 4, 1)) * 0.4, jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((3, 4, 4, 1)), jnp.float32)
+    t = jnp.asarray([0, 25, T - 1], jnp.int32)
+    x_t = S.q_sample(sched, x0, t, eps)
+    v = S.v_target(sched, x0, eps, t)
+    got = S.estimate_x_T_from_v(sched, x_t, v, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(eps), atol=1e-5)
+    # finite even on a synthetic terminal-SNR-zero table entry
+    import dataclasses
+    zeroed = dataclasses.replace(
+        sched,
+        sqrt_alphas_cumprod=sched.sqrt_alphas_cumprod.at[-1].set(0.0),
+        sqrt_one_minus_alphas_cumprod=(
+            sched.sqrt_one_minus_alphas_cumprod.at[-1].set(1.0)))
+    tt = jnp.full((3,), T - 1, jnp.int32)
+    out = S.estimate_x_T_from_v(zeroed, x_t, v, tt)
+    assert bool(jnp.all(jnp.isfinite(out)))
