@@ -1,14 +1,29 @@
-"""Blockwise (flash) attention Pallas TPU kernel.
+"""Blockwise (flash) attention Pallas TPU kernels — forward AND backward.
 
 Replaces the reference's full-matrix softmax attention
 (``attention_blocks.py:35-43``: materializes [B*H, N, N']) with an online-
 softmax kernel that never materializes the attention matrix in HBM. Keeps the
 reference's OpenAI double scaling: logits = (q*s) . (k*s)^T, s = d^{-1/4}.
 
-Layout [B, H, N, D]. Grid = (B*H, N/BQ); the KV loop runs inside the kernel
-over N/BK blocks with running (max, sum, acc) — the standard flash recurrence.
-Token counts in this framework are <= 64*64 = 4096 (SURVEY.md §5), so block
-sizes of 512 keep everything in VMEM with headroom.
+The reference's attention sits on the TRAINING graph of every
+``use_attention != 'none'`` config (attention_blocks.py:35-43 under
+autograd), so this kernel must be differentiable too. ``flash_attention``
+carries a :func:`jax.custom_vjp`:
+
+* forward — the online-softmax kernel, additionally writing the per-row
+  logsumexp L = m + log(sum exp(s - m)) needed to reconstruct P = exp(S - L)
+  in the backward without a second softmax pass;
+* backward — two Pallas kernels implementing the standard flash backward:
+  with D = rowsum(dO * O),
+      dV = P^T dO,   dS = P * (dO V^T - D),   dQ = s^2 dS K,   dK = s^2 dS^T Q
+  (s^2 because the double scaling makes S = s^2 Q K^T). The dQ kernel tiles
+  queries and loops KV blocks; the dK/dV kernel tiles KV and loops Q blocks,
+  so neither re-materializes the attention matrix.
+
+Layout [B, H, N, D]. Grid = (B*H, blocks); the inner loop runs over the other
+operand's blocks with VMEM-resident accumulators. Token counts in this
+framework are <= 64*64 = 4096 and head dim is <= 128 (SURVEY.md §5), so full
+K/V ([N, D] <= 2 MB fp32) always fits VMEM alongside the block operands.
 """
 
 from __future__ import annotations
@@ -17,6 +32,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
 # Below this KV length the naive XLA softmax path is faster on-chip than the
@@ -28,7 +45,13 @@ DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, n_kv: int):
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                block_k: int, n_kv: int):
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
     bq = q.shape[0]
     d = q.shape[1]
@@ -38,29 +61,161 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, n_kv: int
         m_prev, l_prev, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32) * scale
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, BK]
+        s = _dot(q, k, ((1,), (1,)))  # [BQ, BK]
         m_cur = jnp.max(s, axis=1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc = acc * alpha[:, None] + _dot(p, v, ((1,), (0,)))
         return m_new, l_new, acc
 
     m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l_fin, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l_fin[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = (m_fin + jnp.log(l_fin)).astype(lse_ref.dtype)
 
 
-# pl imported lazily at module level for the kernel's pl.ds
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   sc2: float, block_k: int, n_kv: int):
+    """dQ = s^2 * sum_j P_j (dO V_j^T - D) K_j, queries tiled, KV looped."""
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    do = do_ref[0].astype(jnp.float32)  # [BQ, Dv]
+    lse = lse_ref[0].astype(jnp.float32)  # [BQ]
+    delta = delta_ref[0].astype(jnp.float32)  # [BQ]
+    num_kv = n_kv // block_k
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
+        p = jnp.exp(s - lse[:, None])
+        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
+        ds = p * (dp - delta[:, None])
+        return acc + _dot(ds, k, ((1,), (0,)))  # [BQ, D]
+
+    acc0 = jnp.zeros(q.shape, jnp.float32)
+    acc = jax.lax.fori_loop(0, num_kv, body, acc0)
+    dq_ref[0] = (sc2 * acc).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                    dv_ref, *, sc2: float, block_q: int, n_q: int):
+    """dK = s^2 dS^T Q, dV = P^T dO — KV tiled, queries looped."""
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)  # [BK, Dv]
+    num_q = n_q // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
+        p = jnp.exp(s - lse[:, None])
+        dv_acc = dv_acc + _dot(p, do, ((0,), (0,)))  # [BK, Dv]
+        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
+        ds = p * (dp - delta[:, None])
+        dk_acc = dk_acc + _dot(ds, q, ((0,), (0,)))  # [BK, D]
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = (sc2 * dk_acc).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _fwd_call(q, k, v, scale, block_q, block_k, interpret):
+    """Run the forward kernel; returns (o [BH,N,D], lse [BH,N]) flattened."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, n_kv=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, interpret):
+    o, _ = _fwd_call(q, k, v, scale, block_q, block_k, interpret)
+    return o
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    o, lse = _fwd_call(q, k, v, scale, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    bh, n, d = q.shape
+    m = k.shape[1]
+    sc2 = scale * scale
+    # D_i = rowsum(dO * O): cheap elementwise+reduce, left to XLA fusion.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq_kernel = functools.partial(_bwd_dq_kernel, sc2=sc2, block_k=block_k, n_kv=m)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, sc2=sc2, block_q=block_q, n_q=n)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, m // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, m, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, m, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
@@ -73,7 +228,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q: [B, H, N, D], k/v: [B, H, M, D] -> [B, H, N, D].
+    """q: [B, H, N, D], k/v: [B, H, M, D] -> [B, H, N, D]. Differentiable.
 
     ``scale`` is applied to BOTH q and k (reference double scaling). Falls back
     to the naive einsum path ONLY for shapes the blocking doesn't divide
@@ -97,17 +252,5 @@ def flash_attention(
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, m, d)
     vf = v.reshape(b * h, m, d)
-    kernel = functools.partial(_kernel, scale=scale, block_k=block_k, n_kv=m)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h, n // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
+    out = _flash(qf, kf, vf, scale, block_q, block_k, interpret)
     return out.reshape(b, h, n, d)

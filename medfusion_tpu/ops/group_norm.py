@@ -99,9 +99,39 @@ def _pallas_group_norm_silu(x, scale, bias, num_groups: int, eps: float,
     return out.reshape(x.shape)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_gn_diff(x, scale, bias, num_groups, eps, apply_silu, c_tile, interpret):
+    return _pallas_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu,
+                                   c_tile, interpret)
+
+
+def _fused_gn_diff_fwd(x, scale, bias, num_groups, eps, apply_silu, c_tile,
+                       interpret):
+    out = _pallas_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu,
+                                  c_tile, interpret)
+    return out, (x, scale, bias)
+
+
+def _fused_gn_diff_bwd(num_groups, eps, apply_silu, c_tile, interpret, res, g):
+    # Backward recomputes through the identical-math XLA reference — GN stats
+    # are cheap relative to the surrounding convs, and XLA fuses the whole VJP.
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: group_norm_silu_reference(x_, s_, b_, num_groups,
+                                                     eps, apply_silu),
+        x, scale, bias)
+    return vjp(g)
+
+
+_fused_gn_diff.defvjp(_fused_gn_diff_fwd, _fused_gn_diff_bwd)
+
+
 def fused_group_norm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
                           apply_silu: bool = True, interpret: bool = False):
-    """GroupNorm(+SiLU), Pallas when the row block fits VMEM, XLA otherwise."""
+    """GroupNorm(+SiLU), Pallas when the row block fits VMEM, XLA otherwise.
+
+    Differentiable: the Pallas path carries a custom VJP whose backward
+    recomputes via :func:`group_norm_silu_reference` (identical fp32 math)."""
     s = math.prod(x.shape[1:-1])
     c = x.shape[-1]
     if c % num_groups != 0:
@@ -118,5 +148,5 @@ def fused_group_norm_silu(x, scale, bias, num_groups: int, eps: float = 1e-5,
             c_tile = cand
             break
     interpret = interpret or jax.default_backend() == "cpu"  # no Mosaic on CPU
-    return _pallas_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu,
-                                   c_tile, interpret)
+    return _fused_gn_diff(x, scale, bias, num_groups, eps, apply_silu,
+                          c_tile, interpret)

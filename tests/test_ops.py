@@ -80,6 +80,100 @@ def test_block_integration_fused_matches_unfused():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), rtol=1e-5, atol=1e-6)
 
 
+def test_flash_attention_grad_matches_naive():
+    """The Pallas kernel's custom VJP (flash backward kernels) must match the
+    XLA-autodiff gradients of the naive softmax path — the reference's
+    attention trains (attention_blocks.py:35-43), so the accelerated path
+    must be differentiable and exact."""
+    b, h, n, d = 1, 2, 256, 32
+    q, k, v = rand((b, h, n, d), 11), rand((b, h, n, d), 12), rand((b, h, n, d), 13)
+    w = rand((b, h, n, d), 14)  # cotangent seed
+    scale = d**-0.25
+
+    def naive_loss(q, k, v):
+        sm = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1)
+        return jnp.sum(jnp.einsum("bhnm,bhmd->bhnd", sm, v) * w)
+
+    def flash_loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, block_q=128, block_k=128,
+                                       interpret=True) * w)
+
+    gq_n, gk_n, gv_n = jax.grad(naive_loss, argnums=(0, 1, 2))(q, k, v)
+    gq_f, gk_f, gv_f = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_n), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_n), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_grad_rectangular_kv():
+    """Cross-attention shapes (M != N) through the backward kernels."""
+    b, h, n, m, d = 1, 1, 128, 256, 32
+    q = rand((b, h, n, d), 15)
+    k, v = rand((b, h, m, d), 16), rand((b, h, m, d), 17)
+    scale = d**-0.25
+
+    def naive_loss(q, k, v):
+        sm = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1)
+        return jnp.sum(jnp.einsum("bhnm,bhmd->bhnd", sm, v) ** 2)
+
+    def flash_loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, block_q=64, block_k=128,
+                                       interpret=True) ** 2)
+
+    for gn, gf in zip(jax.grad(naive_loss, argnums=(0, 1, 2))(q, k, v),
+                      jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gn), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_group_norm_grad_matches_reference():
+    x = rand((2, 4, 4, 256), seed=20)
+    scale = rand((256,), 21) * 0.1 + 1.0
+    bias = rand((256,), 22) * 0.1
+
+    def ref_loss(x, s, b):
+        return jnp.sum(group_norm_silu_reference(x, s, b, num_groups=32) ** 2)
+
+    def fused_loss(x, s, b):
+        return jnp.sum(fused_group_norm_silu(x, s, b, num_groups=32, interpret=True) ** 2)
+
+    for gn, gf in zip(jax.grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias),
+                      jax.grad(fused_loss, argnums=(0, 1, 2))(x, scale, bias)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gn), rtol=2e-5, atol=2e-5)
+
+
+def test_train_step_with_flash_attention_enabled():
+    """Regression for the round-2 defect: enable_flash_attention(True) +
+    make_diffusion_train_step on a >=1024-token attention UNet used to crash
+    mid-compile ("Linearization failed ... reverse-mode autodiff"). The
+    32x32 level-1 attention here has KV=1024 tokens, so the ops wrapper
+    genuinely dispatches to the Pallas kernel inside jax.grad."""
+    import optax
+
+    from medfusion_tpu import ops
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+    from medfusion_tpu.models.unet import UNet
+    from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+    from medfusion_tpu.train import TrainState, make_diffusion_train_step
+
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                strides=(1, 2), norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, use_attention="linear", num_res_blocks=1)
+    sched = GaussianDiffusionSchedule.create(timesteps=10, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             latent_embedder=None, do_input_centering=False)
+    x = rand((2, 32, 32, 1), seed=30)
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32))["params"]
+    state = TrainState.create(params, optax.adamw(1e-3))
+    step = make_diffusion_train_step(pipe, donate=False)
+    ops.enable_flash_attention(True)
+    try:
+        state, metrics = step(state, None, {"source": x}, jax.random.PRNGKey(1))
+    finally:
+        ops.enable_flash_attention(False)
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_flash_attention_switch_survives_repeated_calls():
     """Regression: the lazy submodule import used to shadow the ops package's
     same-named wrapper function, so the SECOND compute_attention call in any
