@@ -150,6 +150,10 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none"):
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
+        # vs_baseline is analytic, NOT measured: the reference publishes no
+        # numbers (BASELINE.md "published": {}); the denominator is the
+        # assumption below. value and mfu are the measured, trustworthy fields.
+        "baseline_model": "A100 @ 0.35*156 TFLOP/s (assumed, unmeasured)",
         "mfu": round(mfu, 4),
         "batch": batch,
         "tflops_per_sample": round(fps / 1e12, 3),

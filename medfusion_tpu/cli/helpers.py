@@ -163,7 +163,12 @@ def interpolate(args):
                      jax.random.normal(k_n2, z2.shape, z2.dtype))
     lams = jnp.linspace(0.0, 1.0, args.n).reshape(-1, 1, 1, 1)
     x = (1.0 - lams) * z1t + lams * z2t  # broadcasts [n, H, W, C]
-    out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=True)
+    # use_ddim=False: ancestral over timesteps_array[:i] reversed, so the
+    # first model query is at t = i-1 — matching the level the latents were
+    # actually noised to. (The reference's interpolate->denoise DDIM path
+    # queries t~T-1 on an input noised only to t=i, diffusion_pipeline.py:
+    # 320-332 + 285 — a quirk, deliberately NOT carried over.)
+    out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=False)
     rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
     out_dir = Path(args.out)
     save_image_grid(np.stack(rows), out_dir / "interpolation.png",

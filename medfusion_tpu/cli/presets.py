@@ -154,12 +154,13 @@ def build_unet(p: Preset, estimator: str = "unet"):
     return UNet(use_res_block=True, **common)
 
 
-def build_scheduler(p: Preset):
+def build_scheduler(p: Preset, zero_terminal_snr: bool = False):
     from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
 
     return GaussianDiffusionSchedule.create(
         timesteps=p.timesteps, schedule_strategy=p.schedule,
         beta_start=p.beta_start, beta_end=p.beta_end,
+        zero_terminal_snr=zero_terminal_snr,
     )
 
 

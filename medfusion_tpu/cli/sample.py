@@ -31,7 +31,9 @@ def load_pipeline(args, p):
     key = jax.random.PRNGKey(args.seed)
     vae = build_vae(p)
     unet = build_unet(p, getattr(args, "estimator", "unet"))
-    pipe = DiffusionPipeline(scheduler=build_scheduler(p), noise_estimator=unet,
+    pipe = DiffusionPipeline(scheduler=build_scheduler(
+                                 p, zero_terminal_snr=getattr(args, "zero_terminal_snr", False)),
+                             noise_estimator=unet,
                              latent_embedder=vae, do_input_centering=False, clip_x0=False,
                              estimator_objective=getattr(args, "objective", "x_T"))
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
@@ -82,8 +84,21 @@ def main(argv=None):
     ap.add_argument("--classifier-model-channels", type=int, default=64)
     ap.add_argument("--classifier-pool", default="adaptive",
                     choices=("adaptive", "attention", "spatial", "spatial_v2"))
+    ap.add_argument("--zero-terminal-snr", action="store_true",
+                    help="checkpoint was trained with --zero-terminal-snr "
+                         "(rescaled schedule, arXiv:2305.08891)")
+    ap.add_argument("--timestep-spacing", choices=("linspace", "trailing"),
+                    default=None,
+                    help="DDIM grid spacing; 'trailing' is the 2305.08891 "
+                         "recommendation (default for --zero-terminal-snr)")
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    help="phi of arXiv:2305.08891 §3.4: rescale the CFG "
+                         "output std toward the conditional prediction's "
+                         "(0 = off; paper uses 0.7)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.timestep_spacing is None:
+        args.timestep_spacing = "trailing" if args.zero_terminal_snr else "linspace"
     if args.classifier_ckpt and args.encoder_key_every > 1:
         ap.error("--classifier-ckpt guidance is not wired into the "
                  "encoder-propagation fast sampler; drop --encoder-key-every")
@@ -115,21 +130,26 @@ def main(argv=None):
                     lambda x, t: clf.apply({"params": clf_params}, x, t),
                     jnp.full((args.n,), cond_val, jnp.int32)),
                 classifier_scale=args.classifier_scale)
+        spacing = dict(timestep_spacing=args.timestep_spacing)
         if args.sampler == "dpmpp":
             k1, _ = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
             imgs = pipe.denoise_dpmpp(params, x_T, condition=cond, steps=steps,
-                                      guidance_scale=gs, **guided)
+                                      guidance_scale=gs,
+                                      guidance_rescale=args.guidance_rescale,
+                                      **spacing, **guided)
         elif args.encoder_key_every > 1:
             k1, k2 = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
             imgs = pipe.denoise_fast(params, x_T, k2, condition=cond, steps=steps,
                                      guidance_scale=gs,
-                                     encoder_key_every=args.encoder_key_every)
+                                     encoder_key_every=args.encoder_key_every,
+                                     **spacing)
         else:
             imgs = pipe.sample(params, rng, args.n, p.latent_shape, condition=cond,
                                steps=steps, use_ddim=True, guidance_scale=gs,
-                               **guided)
+                               guidance_rescale=args.guidance_rescale,
+                               **spacing, **guided)
         results[cond_val] = np.asarray(imgs)
         save_image_grid(results[cond_val], out / f"sample_cond_{cond_val}.png")
         print(f"condition={cond_val}: wrote {out}/sample_cond_{cond_val}.png")

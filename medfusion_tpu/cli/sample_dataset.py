@@ -54,8 +54,18 @@ def main(argv=None):
     ap.add_argument("--classifier-model-channels", type=int, default=64)
     ap.add_argument("--classifier-pool", default="adaptive",
                     choices=("adaptive", "attention", "spatial", "spatial_v2"))
+    ap.add_argument("--zero-terminal-snr", action="store_true",
+                    help="checkpoint was trained with --zero-terminal-snr")
+    ap.add_argument("--timestep-spacing", choices=("linspace", "trailing"),
+                    default=None,
+                    help="'trailing' is the arXiv:2305.08891 recommendation "
+                         "(default for --zero-terminal-snr)")
+    ap.add_argument("--guidance-rescale", type=float, default=0.0,
+                    help="CFG rescale phi (arXiv:2305.08891 §3.4; 0 = off)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.timestep_spacing is None:
+        args.timestep_spacing = "trailing" if args.zero_terminal_snr else "linspace"
     if args.classifier_ckpt and args.encoder_key_every > 1:
         ap.error("--classifier-ckpt guidance is not wired into the "
                  "encoder-propagation fast sampler; drop --encoder-key-every")
@@ -82,7 +92,9 @@ def main(argv=None):
                                        encoder_key_every=args.encoder_key_every,
                                        sampler=args.sampler,
                                        classifier_apply=classifier_apply,
-                                       classifier_scale=args.classifier_scale)
+                                       classifier_scale=args.classifier_scale,
+                                       guidance_rescale=args.guidance_rescale,
+                                       timestep_spacing=args.timestep_spacing)
         for label in labels:
             out_dir = Path(args.out) / f"steps_{steps}" / f"label_{label}"
             out_dir.mkdir(parents=True, exist_ok=True)

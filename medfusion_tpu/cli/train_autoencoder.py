@@ -56,6 +56,11 @@ def main(argv=None):
     ap.add_argument("--disc", choices=["conv", "patch"], default="conv",
                     help="discriminator flavor: conv-stack (reference Discriminator) "
                          "or PatchGAN (reference NLayerDiscriminator, BatchNorm)")
+    ap.add_argument("--lr-schedule", choices=("const", "cosine", "lambda_linear"),
+                    default="const",
+                    help="per-step LR schedule for the (non-GAN) AE optimizer "
+                         "(lambda_linear = the vendored SD LambdaLinearScheduler)")
+    ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
@@ -127,7 +132,12 @@ def _train(args, resume: bool):
                                      optax.adam(1e-6), optax.adam(1e-6))
         step_fn = make_adversarial_train_step(trainer, donate=False)
     else:
-        state = TrainState.create(vae_params, optax.adam(p.ae_lr))
+        from medfusion_tpu.train.lr_schedules import make_lr_schedule
+
+        lr = make_lr_schedule(args.lr_schedule, p.ae_lr,
+                              warmup_steps=args.warmup_steps,
+                              total_steps=args.max_steps)
+        state = TrainState.create(vae_params, optax.adam(lr))
         step_fn = make_autoencoder_train_step(ae_trainer, donate=False)
 
     ckpt_dir = out / "checkpoints"

@@ -70,6 +70,11 @@ def main(argv=None):
                     help="estimator parameterization: eps (reference "
                          "default, train_diffusion.py:119), x_0, or "
                          "v-prediction (arXiv:2202.00512)")
+    ap.add_argument("--zero-terminal-snr", action="store_true",
+                    help="rescale the beta schedule so abar_T = 0 exactly "
+                         "(arXiv:2305.08891); requires --objective v or x_0 "
+                         "-- the model then truly learns to start from pure "
+                         "noise. Sample with --timestep-spacing trailing")
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
@@ -80,6 +85,13 @@ def main(argv=None):
                     help="use the grain production loader instead of SimpleDataModule")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable donate_argnums on the train state (debug aid)")
+    ap.add_argument("--lr-schedule", choices=("const", "cosine", "lambda_linear"),
+                    default="const",
+                    help="per-step LR schedule (reference configure_optimizers "
+                         "supports lr_scheduler, diffusion_pipeline.py:338-348; "
+                         "lambda_linear = the vendored SD LambdaLinearScheduler)")
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear warmup length (lambda_linear default 10000)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
@@ -107,7 +119,7 @@ def _train(args, resume: bool):
     unet = build_unet(p, args.estimator)
     if args.remat and hasattr(unet, "remat"):
         unet = unet.replace(remat=True)
-    sched = build_scheduler(p)
+    sched = build_scheduler(p, zero_terminal_snr=args.zero_terminal_snr)
     pipe = DiffusionPipeline(
         scheduler=sched, noise_estimator=unet, latent_embedder=vae,
         estimator_objective=args.objective, estimate_variance=False,
@@ -122,7 +134,12 @@ def _train(args, resume: bool):
     t0_arr = np.zeros((batch_size,), np.int32)
     unet_params = unet.init(key, z0, t0_arr, t0_arr if p.num_classes else None)["params"]
 
-    state = TrainState.create(unet_params, optax.adamw(p.diffusion_lr), use_ema=args.use_ema)
+    from medfusion_tpu.train.lr_schedules import make_lr_schedule
+
+    lr = make_lr_schedule(args.lr_schedule, p.diffusion_lr,
+                          warmup_steps=args.warmup_steps,
+                          total_steps=args.max_steps)
+    state = TrainState.create(unet_params, optax.adamw(lr), use_ema=args.use_ema)
     # donate=True buys memory headroom (in-place state update); re-validated
     # working on the axon tunnel in round 2 (was InvalidArgument in round 1).
     step_fn = make_diffusion_train_step(pipe, donate=not args.no_donate)

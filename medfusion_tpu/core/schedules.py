@@ -48,6 +48,26 @@ def _make_betas(
     return b
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale a beta table so the terminal SNR is exactly zero
+    (Lin et al., *Common Diffusion Noise Schedules and Sample Steps are
+    Flawed*, arXiv:2305.08891 Alg. 1 — beyond the reference, whose
+    scaled_linear schedule has abar_T ~ 4e-5 > 0, i.e. the model never sees
+    pure noise during training yet sampling starts from pure noise).
+
+    sqrt(abar) is shifted so sqrt(abar_T) = 0 and rescaled so sqrt(abar_1)
+    keeps its original value; betas are recovered from the adjusted abar.
+    The resulting abar_T == 0.0 EXACTLY (beta_T == 1)."""
+    b = np.asarray(betas, dtype=np.float64)
+    alphas = 1.0 - b
+    abar_sqrt = np.sqrt(np.cumprod(alphas))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * (a0 / (a0 - aT))
+    abar = abar_sqrt**2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
 @struct.dataclass
 class GaussianDiffusionSchedule:
     """Immutable pytree of diffusion schedule buffers (all float32, shape [T]).
@@ -69,6 +89,7 @@ class GaussianDiffusionSchedule:
     # Static (non-pytree) fields.
     timesteps: int = struct.field(pytree_node=False, default=1000)
     T: int = struct.field(pytree_node=False, default=1000)
+    zero_terminal_snr: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(
@@ -80,28 +101,37 @@ class GaussianDiffusionSchedule:
         beta_end: float = 0.02,
         betas: Optional[Sequence[float]] = None,
         dtype=jnp.float32,
+        zero_terminal_snr: bool = False,
     ) -> "GaussianDiffusionSchedule":
         T = timesteps if T is None else T
         b = _make_betas(timesteps, schedule_strategy, beta_start, beta_end, betas)
+        if zero_terminal_snr:
+            b = rescale_zero_terminal_snr(b)
         alphas = 1.0 - b
         alphas_cumprod = np.cumprod(alphas)
         alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
+        # abar_T == 0 under zero_terminal_snr: the 1/abar reciprocal tables
+        # are legitimately +inf at the terminal index (the eps<->x_0
+        # inversions that would touch them are unusable there by
+        # construction; the v-parameterized inversions never divide).
         as_f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
-        return cls(
-            betas=as_f(b),
-            alphas=as_f(alphas),
-            alphas_cumprod=as_f(alphas_cumprod),
-            alphas_cumprod_prev=as_f(alphas_cumprod_prev),
-            sqrt_alphas_cumprod=as_f(np.sqrt(alphas_cumprod)),
-            sqrt_one_minus_alphas_cumprod=as_f(np.sqrt(1.0 - alphas_cumprod)),
-            sqrt_recip_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod)),
-            sqrt_recipm1_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod - 1.0)),
-            posterior_mean_coef1=as_f(b * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
-            posterior_mean_coef2=as_f((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
-            posterior_variance=as_f(b * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
-            timesteps=timesteps,
-            T=T,
-        )
+        with np.errstate(divide="ignore"):
+            return cls(
+                betas=as_f(b),
+                alphas=as_f(alphas),
+                alphas_cumprod=as_f(alphas_cumprod),
+                alphas_cumprod_prev=as_f(alphas_cumprod_prev),
+                sqrt_alphas_cumprod=as_f(np.sqrt(alphas_cumprod)),
+                sqrt_one_minus_alphas_cumprod=as_f(np.sqrt(1.0 - alphas_cumprod)),
+                sqrt_recip_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod)),
+                sqrt_recipm1_alphas_cumprod=as_f(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+                posterior_mean_coef1=as_f(b * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+                posterior_mean_coef2=as_f((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
+                posterior_variance=as_f(b * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+                timesteps=timesteps,
+                T=T,
+                zero_terminal_snr=zero_terminal_snr,
+            )
 
     # ------------------------------------------------------------------
     # helpers
@@ -113,11 +143,23 @@ class GaussianDiffusionSchedule:
             np.linspace(0, self.T - 1, self.timesteps).astype(np.int64), dtype=jnp.int32
         )
 
-    def ddim_timesteps(self, steps: int) -> jnp.ndarray:
-        """torch.linspace(0, T-1, steps).long() semantics (diffusion_pipeline.py:285)."""
-        # torch.linspace(...) casts to long by truncation; do the same in f64.
-        vals = np.linspace(0.0, float(self.T - 1), steps)
-        return jnp.asarray(vals.astype(np.int64), dtype=jnp.int32)
+    def ddim_timesteps(self, steps: int, spacing: str = "linspace") -> jnp.ndarray:
+        """Sub-sampled timestep grid, ascending, length ``steps``.
+
+        * ``"linspace"`` — torch.linspace(0, T-1, steps).long() semantics
+          (reference diffusion_pipeline.py:285; cast truncates, so done in f64).
+        * ``"trailing"`` — arange(T, 0, -T/steps).round()-1 reversed
+          (arXiv:2305.08891 §3.2, Table 2): always includes the terminal step
+          T-1 and spaces the rest evenly from the end — the recommended grid
+          for zero-terminal-SNR schedules.
+        """
+        if spacing == "linspace":
+            vals = np.linspace(0.0, float(self.T - 1), steps)
+            return jnp.asarray(vals.astype(np.int64), dtype=jnp.int32)
+        if spacing == "trailing":
+            vals = np.round(np.arange(self.T, 0, -self.T / steps)).astype(np.int64) - 1
+            return jnp.asarray(vals[::-1].copy(), dtype=jnp.int32)
+        raise ValueError(f"unknown timestep spacing {spacing!r}")
 
 
 def extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -183,6 +225,25 @@ def estimate_x_T(
     return (
         extract(sched.sqrt_recip_alphas_cumprod, t, ndim) * x_t - x_0
     ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, ndim)
+
+
+def estimate_x_T_safe(
+    sched: GaussianDiffusionSchedule,
+    x_t: jnp.ndarray,
+    x_0: jnp.ndarray,
+    t: jnp.ndarray,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """eps from (x_t, x_0) via the direct form
+    (x_t - sqrt(abar)*x_0) / sqrt(1-abar) — algebraically equal to
+    :func:`estimate_x_T` but finite at abar_t = 0 (the reference's form
+    divides inf/inf at the terminal step of a zero-terminal-SNR schedule,
+    arXiv:2305.08891)."""
+    ndim = x_t.ndim
+    x_0 = clip_x0(x_0) if clip else x_0
+    return (
+        x_t - extract(sched.sqrt_alphas_cumprod, t, ndim) * x_0
+    ) / extract(sched.sqrt_one_minus_alphas_cumprod, t, ndim)
 
 
 def posterior_mean(

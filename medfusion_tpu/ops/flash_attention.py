@@ -75,7 +75,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m_fin, l_fin, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l_fin[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m_fin + jnp.log(l_fin)).astype(lse_ref.dtype)
+    # lse is laid out [BH, N, 1]: queries on the sublane dim (Mosaic requires
+    # the last two block dims to be (8k, 128k) or full — (BQ, 1) qualifies),
+    # and [BQ, 1] is directly the column shape the backward kernels broadcast.
+    lse_ref[0] = (m_fin + jnp.log(l_fin))[:, None].astype(lse_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
@@ -83,17 +86,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     """dQ = s^2 * sum_j P_j (dO V_j^T - D) K_j, queries tiled, KV looped."""
     q = q_ref[0].astype(jnp.float32)  # [BQ, D]
     do = do_ref[0].astype(jnp.float32)  # [BQ, Dv]
-    lse = lse_ref[0].astype(jnp.float32)  # [BQ]
-    delta = delta_ref[0].astype(jnp.float32)  # [BQ]
+    lse = lse_ref[0].astype(jnp.float32)  # [BQ, 1]
+    delta = delta_ref[0].astype(jnp.float32)  # [BQ, 1]
     num_kv = n_kv // block_k
 
     def body(i, acc):
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.exp(s - lse)
         dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
-        ds = p * (dp - delta[:, None])
+        ds = p * (dp - delta)
         return acc + _dot(ds, k, ((1,), (0,)))  # [BQ, D]
 
     acc0 = jnp.zeros(q.shape, jnp.float32)
@@ -112,13 +115,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)  # [BQ, 1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
-        p = jnp.exp(s - lse[:, None])
+        p = jnp.exp(s - lse)
         dv_acc = dv_acc + _dot(p, do, ((0,), (0,)))  # [BK, Dv]
         dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
-        ds = p * (dp - delta[:, None])
+        ds = p * (dp - delta)
         dk_acc = dk_acc + _dot(ds, q, ((0,), (0,)))  # [BK, D]
         return dk_acc, dv_acc
 
@@ -144,11 +147,11 @@ def _fwd_call(q, k, v, scale, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -171,7 +174,9 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, do):
     m = k.shape[1]
     sc2 = scale * scale
     # D_i = rowsum(dO * O): cheap elementwise+reduce, left to XLA fusion.
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # [BH, N, 1] — same sublane-major layout as lse.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)
 
     dq_kernel = functools.partial(_bwd_dq_kernel, sc2=sc2, block_k=block_k, n_kv=m)
     dq = pl.pallas_call(
@@ -182,8 +187,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
@@ -199,8 +204,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, do):
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

@@ -31,6 +31,8 @@ def make_sharded_sampler(
     sampler: str = "ddim",  # 'ddim' | 'dpmpp' (DPM-Solver++(2M))
     classifier_apply=None,
     classifier_scale: float = 0.0,
+    guidance_rescale: float = 0.0,
+    timestep_spacing: str = "linspace",
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
@@ -67,12 +69,15 @@ def make_sharded_sampler(
                 guidance_scale=guidance_scale, un_cond=un_cond, decode=decode,
                 classifier_grad=classifier_grad,
                 classifier_scale=classifier_scale,
+                guidance_rescale=guidance_rescale,
+                timestep_spacing=timestep_spacing,
             )
         if encoder_key_every > 1:
             return pipeline.denoise_fast(
                 params, x_T, k_loop, condition=condition, steps=steps,
                 guidance_scale=guidance_scale, un_cond=un_cond, eta=eta,
                 decode=decode, encoder_key_every=encoder_key_every,
+                timestep_spacing=timestep_spacing,
             )
         return pipeline.denoise(
             params, x_T, k_loop, condition=condition,
@@ -80,6 +85,8 @@ def make_sharded_sampler(
             un_cond=un_cond, eta=eta, decode=decode,
             classifier_grad=classifier_grad,
             classifier_scale=classifier_scale,
+            guidance_rescale=guidance_rescale,
+            timestep_spacing=timestep_spacing,
         )
 
     out_sh = batch_sharding(mesh, 1 + len(img_size))

@@ -72,10 +72,25 @@ class DiffusionPipeline:
     # Estimator compute dtype (e.g. jnp.bfloat16 for production sampling).
     # Inputs are cast on the way into the UNet; all scheduler math stays f32.
     compute_dtype: Any = None
+    # Zero-terminal-SNR mode (arXiv:2305.08891): the eps<->x_0 inversions
+    # switch to forms that stay finite at abar_t = 0. Implied automatically
+    # by a schedule created with zero_terminal_snr=True.
+    zero_terminal_snr: bool = False
 
     def __post_init__(self):
         if self.estimator_objective not in ("x_T", "x_0", "v"):
             raise ValueError(f"unknown estimator_objective {self.estimator_objective!r}")
+        if self._terminal_safe and self.estimator_objective == "x_T":
+            raise ValueError(
+                "zero-terminal-SNR schedules cannot use the eps ('x_T') "
+                "objective: x_0 is unrecoverable from eps at abar_T = 0 "
+                "(arXiv:2305.08891 §3.1) — train with objective 'v' (or 'x_0')")
+
+    @property
+    def _terminal_safe(self) -> bool:
+        """True when the abar_t=0-safe inversion forms must be used."""
+        return self.zero_terminal_snr or getattr(
+            self.scheduler, "zero_terminal_snr", False)
 
     # ------------------------------------------------------------------
     # model application helpers
@@ -227,10 +242,17 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------
 
     def _guided_pred(self, params, x_t, t, condition=None, self_cond=None,
-                     guidance_scale: float = 1.0, un_cond=None):
+                     guidance_scale: float = 1.0, un_cond=None,
+                     guidance_rescale: float = 0.0):
         """One (optionally classifier-free-guided) estimator output.
         CFG runs [uncond | cond] in ONE batched forward (reference runs two
-        sequential calls, diffusion_pipeline.py:240-249)."""
+        sequential calls, diffusion_pipeline.py:240-249).
+
+        ``guidance_rescale`` (phi in arXiv:2305.08891 §3.4): rescales the
+        guided prediction's per-sample std back to the conditional
+        prediction's std, then lerps — fixes the over-exposure/over-saturation
+        that large guidance scales cause on zero-terminal-SNR models. 0.0
+        (default) = plain CFG."""
         b = x_t.shape[0]
         if (condition is not None) and (guidance_scale != 1.0):
             x2 = jnp.concatenate([x_t, x_t], axis=0)
@@ -242,7 +264,14 @@ class DiffusionPipeline:
             sc2 = None if self_cond is None else jnp.concatenate([self_cond, self_cond], axis=0)
             pred2, _ = self._apply_estimator(params, x2, t2, cond2, sc2, mask2)
             pred_uncond, pred_cond = pred2[:b], pred2[b:]
-            return pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+            guided = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+            if guidance_rescale > 0.0:
+                axes = tuple(range(1, guided.ndim))
+                std_cond = jnp.std(pred_cond, axis=axes, keepdims=True)
+                std_guided = jnp.std(guided, axis=axes, keepdims=True)
+                rescaled = guided * (std_cond / jnp.clip(std_guided, 1e-8))
+                guided = guidance_rescale * rescaled + (1 - guidance_rescale) * guided
+            return guided
         cond_mask = None if condition is None else jnp.ones((b,), x_t.dtype)
         pred, _ = self._apply_estimator(params, x_t, t, condition, self_cond, cond_mask)
         return pred
@@ -260,6 +289,7 @@ class DiffusionPipeline:
         noise=None,
         classifier_grad=None,
         classifier_scale: float = 0.0,
+        guidance_rescale: float = 0.0,
     ):
         """One reverse step (reference ``forward``, diffusion_pipeline.py:232-275).
 
@@ -275,7 +305,7 @@ class DiffusionPipeline:
         """
         sched = self.scheduler
         pred = self._guided_pred(params, x_t, t, condition, self_cond,
-                                 guidance_scale, un_cond)
+                                 guidance_scale, un_cond, guidance_rescale)
 
         if self.estimate_variance:
             pred, pred_var = jnp.split(pred, 2, axis=-1)
@@ -284,9 +314,10 @@ class DiffusionPipeline:
             var_scale = 0.0
 
         if classifier_grad is not None:
-            assert self.estimator_objective == "x_T", (
-                "classifier guidance shifts the eps prediction; use the "
-                "eps ('x_T') objective")
+            if self.estimator_objective != "x_T":
+                raise ValueError(
+                    "classifier guidance shifts the eps prediction; use the "
+                    "eps ('x_T') objective")
             grad = classifier_grad(x_t, t)
             shift = S.extract(sched.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
             pred = pred - classifier_scale * shift * grad
@@ -301,7 +332,8 @@ class DiffusionPipeline:
                 x_t_prior, x_0 = S.ancestral_step(
                     sched, x_t, t, pred, noise, clip=self.clip_x0, var_scale=var_scale
                 )
-            x_T = S.estimate_x_T(sched, x_t, x_0=pred, t=t, clip=self.clip_x0)
+            est_x_T = S.estimate_x_T_safe if self._terminal_safe else S.estimate_x_T
+            x_T = est_x_T(sched, x_t, x_0=pred, t=t, clip=self.clip_x0)
             new_self_cond = x_T
         elif self.estimator_objective == "v":
             # convert to an x0-estimate, then share the x_0 branch's step
@@ -312,7 +344,16 @@ class DiffusionPipeline:
                 x_t_prior, x_0 = S.ancestral_step(
                     sched, x_t, t, x_0v, noise, clip=self.clip_x0, var_scale=var_scale
                 )
-            x_T = S.estimate_x_T(sched, x_t, x_0=x_0v, t=t, clip=self.clip_x0)
+            if self._terminal_safe and not self.clip_x0:
+                # direct v->eps (estimate_x_T_from_v): division-free, exact
+                # at abar_t = 0 (arXiv:2305.08891)
+                x_T = S.estimate_x_T_from_v(sched, x_t, pred, t)
+            elif self._terminal_safe:
+                # eps implied by the CLIPPED x_0 (reference thresholding
+                # semantics), via the abar=0-safe direct form
+                x_T = S.estimate_x_T_safe(sched, x_t, x_0=x_0v, t=t, clip=self.clip_x0)
+            else:
+                x_T = S.estimate_x_T(sched, x_t, x_0=x_0v, t=t, clip=self.clip_x0)
             new_self_cond = x_0
         else:
             if cold_diffusion:
@@ -341,16 +382,20 @@ class DiffusionPipeline:
         cold_diffusion: bool = False,
         classifier_grad=None,
         classifier_scale: float = 0.0,
+        guidance_rescale: float = 0.0,
+        timestep_spacing: str = "linspace",
     ):
         """Full reverse process as ONE ``lax.scan`` (replaces the reference's
         host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
         ``use_ddim``, ``guidance_scale``, ``eta``, ``decode`` are static.
         ``classifier_grad``/``classifier_scale``: see :meth:`estimate` (build
-        one with :func:`make_classifier_grad`)."""
+        one with :func:`make_classifier_grad`). ``guidance_rescale`` /
+        ``timestep_spacing='trailing'``: zero-terminal-SNR sampling fixes
+        (arXiv:2305.08891, see :meth:`_guided_pred` / ``ddim_timesteps``)."""
         sched = self.scheduler
         if use_ddim:
             n = sched.timesteps if steps is None else steps
-            ts = sched.ddim_timesteps(n)  # ascending [0 .. T-1], length n
+            ts = sched.ddim_timesteps(n, spacing=timestep_spacing)  # ascending, length n
         else:
             ts = sched.timesteps_array()[: (steps or sched.timesteps)]
             n = int(ts.shape[0])
@@ -377,11 +422,21 @@ class DiffusionPipeline:
                 cold_diffusion=cold_diffusion,
                 classifier_grad=classifier_grad,
                 classifier_scale=classifier_scale,
+                guidance_rescale=guidance_rescale,
             )
             if use_ddim:
                 ddim_noise = jax.random.normal(k_ddim, x.shape, x.dtype)
                 x_ddim = S.ddim_step(sched, x_0, x_T, t_scalar, t_next, ddim_noise, eta)
-                x_new = jnp.where(more, x_ddim, x_prior)
+                if timestep_spacing == "trailing":
+                    # the trailing grid's smallest t is ~T/steps - 1 > 0; the
+                    # final transition targets abar = 1, i.e. returns the x_0
+                    # prediction ("set_alpha_to_one" DDIM convention). With
+                    # linspace the grid ends at t=0 where the ancestral step
+                    # already equals x_0 exactly.
+                    x_final = x_0
+                else:
+                    x_final = x_prior
+                x_new = jnp.where(more, x_ddim, x_final)
             else:
                 x_new = x_prior
             return (x_new, new_sc), None
@@ -403,6 +458,8 @@ class DiffusionPipeline:
         decode: bool = True,
         classifier_grad=None,
         classifier_scale: float = 0.0,
+        guidance_rescale: float = 0.0,
+        timestep_spacing: str = "linspace",
     ):
         """DPM-Solver++(2M) — deterministic second-order multistep sampler
         (Lu et al., arXiv:2211.01095), opt-in and BEYOND the reference (which
@@ -418,18 +475,20 @@ class DiffusionPipeline:
         guidance (see :meth:`estimate`) — the guided eps defines the guided
         score the solver integrates; eps-objective only.
         """
-        assert not self.use_self_conditioning, "dpmpp sampler: self-cond unsupported"
-        if classifier_grad is not None:
-            assert self.estimator_objective == "x_T", (
+        if self.use_self_conditioning:
+            raise ValueError("dpmpp sampler: self-cond unsupported")
+        if classifier_grad is not None and self.estimator_objective != "x_T":
+            raise ValueError(
                 "classifier guidance shifts the eps prediction; use the "
                 "eps ('x_T') objective")
         sched = self.scheduler
         n = sched.timesteps if steps is None else steps
-        assert 2 <= n <= sched.timesteps, (
-            f"DPM-Solver++(2M) needs 2 <= steps <= T={sched.timesteps}; a grid "
-            f"denser than T duplicates timesteps (h=0 -> NaN in the 2M update)"
-        )
-        ts = sched.ddim_timesteps(n)  # ascending [0 .. T-1], length n
+        if not (2 <= n <= sched.timesteps):
+            raise ValueError(
+                f"DPM-Solver++(2M) needs 2 <= steps <= T={sched.timesteps}; a grid "
+                f"denser than T duplicates timesteps (h=0 -> NaN in the 2M update)"
+            )
+        ts = sched.ddim_timesteps(n, spacing=timestep_spacing)  # ascending, length n
         ts_rev = ts[::-1]
         b = x_t.shape[0]
 
@@ -489,6 +548,7 @@ class DiffusionPipeline:
         eta: float = 0.0,
         decode: bool = True,
         encoder_key_every: int = 3,
+        timestep_spacing: str = "linspace",
     ):
         """Encoder-propagation DDIM sampler (Faster Diffusion, arXiv:2312.09608).
 
@@ -500,11 +560,12 @@ class DiffusionPipeline:
         (``encoder_key_every=1`` == exact :meth:`denoise`). Requires the
         estimator to expose ``embed``/``encode_features``/``decode_features``
         (the in-house UNet does); self-conditioning unsupported here."""
-        assert not self.use_self_conditioning, "fast sampler: self-cond unsupported"
+        if self.use_self_conditioning:
+            raise ValueError("fast sampler: self-cond unsupported")
         sched = self.scheduler
         unet = self.noise_estimator
         n = sched.timesteps if steps is None else steps
-        ts = sched.ddim_timesteps(n)
+        ts = sched.ddim_timesteps(n, spacing=timestep_spacing)
         b = x_t.shape[0]
         ts_rev = ts[::-1]
         ts_next = jnp.concatenate([ts_rev[1:], jnp.zeros((1,), ts.dtype)])
@@ -567,10 +628,18 @@ class DiffusionPipeline:
                        if self.estimator_objective == "v" else pred)
                 x_prior, x_0 = S.ancestral_step(
                     sched, x, tb, x0p, anc_noise, clip=self.clip_x0)
-                x_T = S.estimate_x_T(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
+                if self._terminal_safe and self.estimator_objective == "v" and not self.clip_x0:
+                    x_T = S.estimate_x_T_from_v(sched, x, pred, tb)
+                elif self._terminal_safe:
+                    x_T = S.estimate_x_T_safe(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
+                else:
+                    x_T = S.estimate_x_T(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
             x_ddim = S.ddim_step(sched, x_0, x_T, t_scalar, t_next,
                                  jnp.zeros_like(x) if eta == 0.0 else anc_noise, eta)
-            x_new = jnp.where(more, x_ddim, x_prior)
+            # trailing grids end above t=0: final transition returns the x_0
+            # prediction ("set_alpha_to_one"), same as denoise()
+            x_final = x_0 if timestep_spacing == "trailing" else x_prior
+            x_new = jnp.where(more, x_ddim, x_final)
             return (x_new, cache), None
 
         (x_out, _), _ = jax.lax.scan(

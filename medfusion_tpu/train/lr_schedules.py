@@ -46,3 +46,37 @@ def lambda_linear_schedule(
         return jnp.where(n < w, f_warm, f_decay)
 
     return schedule
+
+
+def make_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
+                     total_steps: int = 100_000):
+    """CLI-facing factory: ``step -> learning rate`` (an optax schedule).
+
+    * ``"const"`` — base_lr, with optional linear warmup from 0.
+    * ``"cosine"`` — linear warmup then cosine decay to 0 over total_steps.
+    * ``"lambda_linear"`` — base_lr x the reference's vendored
+      ``LambdaLinearScheduler`` multiplier (lr_schedulers.py:3-33) with its
+      SD defaults (warmup f_start=1e-6 -> f_max=1, then flat: f_min=1,
+      one effectively-infinite cycle); ``warmup_steps`` overrides the
+      warmup length (reference default 10000).
+
+    The schedule position rides optax's own step count inside the optimizer
+    state, so checkpoint restore resumes the schedule where it left off.
+    """
+    import optax
+
+    if name == "const":
+        if warmup_steps > 0:
+            return optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return optax.constant_schedule(base_lr)
+    if name == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=base_lr,
+            warmup_steps=max(warmup_steps, 1), decay_steps=total_steps)
+    if name == "lambda_linear":
+        mult = lambda_linear_schedule(
+            warm_up_steps=(warmup_steps or 10000,),
+            f_min=(1.0,), f_max=(1.0,), f_start=(1.0e-6,),
+            cycle_lengths=(10_000_000_000_000,))
+        return lambda step: base_lr * mult(step)
+    raise ValueError(f"unknown lr schedule {name!r}")

@@ -12,8 +12,11 @@ trainer configs ``scripts/train_diffusion.py:148-155``):
   (model_base.py:68-85 semantics: keep only leaves whose path matches, and
   whose shapes agree with the target tree).
 
-Orbax handles multi-host coordination on pods; ``keep_top_k`` mirrors
-Lightning's ``save_top_k``.
+Orbax handles multi-host coordination on pods — proven by the REAL 2-process
+coordinated save/restore of a data-sharded TrainState in
+``tests/test_multihost.py`` (host-local scalars must first be made global:
+see :func:`globalize_for_multihost`). ``keep_top_k`` mirrors Lightning's
+``save_top_k``.
 """
 
 from __future__ import annotations
@@ -44,6 +47,28 @@ def save_checkpoint(ckpt_dir, state: Any, step: int, config: Optional[Dict] = No
         mgr.wait_until_finished()
     if config is not None:
         (ckpt_dir / CONFIG_FILE).write_text(json.dumps(config, indent=2, default=str))
+
+
+def globalize_for_multihost(state: Any, mesh) -> Any:
+    """Make every host-local leaf a fully-replicated GLOBAL array on ``mesh``.
+
+    In a multi-process run orbax refuses to serialize host-local
+    (SingleDeviceSharding) arrays — the TrainState scalars (step, optax
+    counts) are exactly that after ``TrainState.create``. Leaves already
+    sharded on a mesh (NamedSharding) pass through untouched. Call this on
+    the state before ``save_checkpoint`` AND on the template before
+    ``restore_checkpoint`` when ``jax.process_count() > 1``."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def one(x):
+        if hasattr(x, "sharding") and getattr(x.sharding, "mesh", None) is not None:
+            return x  # already global (NamedSharding on a mesh)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, rep, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(one, state)
 
 
 def _path_str(keypath) -> str:

@@ -134,7 +134,8 @@ def test_classifier_guidance_requires_eps_objective():
             beta_start=0.002, beta_end=0.02),
         noise_estimator=_ZeroEstimator(), latent_embedder=None,
         estimator_objective="x_0", do_input_centering=False)
-    with pytest.raises(AssertionError):
+    # ValueError (not assert): survives python -O (user-facing validation)
+    with pytest.raises(ValueError, match="eps"):
         pipe.estimate({"noise_estimator": {}}, jnp.zeros((1, 4, 4, 1)),
                       jnp.zeros((1,), jnp.int32),
                       classifier_grad=lambda x, t: x,

@@ -3,8 +3,12 @@
 The reference has no distributed runtime (SURVEY §2.4); this framework's
 multi-host layer (`parallel/multihost.py`) is exercised here with two actual
 processes coordinating over localhost — initialize, build a global mesh over
-both processes' devices, run a psum-reducing jitted step, and verify the
-per-host batch slicing."""
+both processes' devices, run a psum-reducing jitted step, verify the
+per-host batch slicing, and do a COORDINATED ORBAX CHECKPOINT of a
+data-sharded TrainState: both processes call save_checkpoint (orbax
+coordinates the distributed array write), then both restore into a sharded
+template and verify their local shards — the test behind
+utils/checkpoint.py's "Orbax handles multi-host coordination" claim."""
 
 import socket
 import subprocess
@@ -52,6 +56,33 @@ arr = jax.make_array_from_process_local_data(
 total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
 np.testing.assert_allclose(np.asarray(total), np.arange(8).sum())
 print(f"proc {pid} OK", flush=True)
+
+# ---- coordinated orbax checkpoint of a SHARDED TrainState ----
+import optax
+from medfusion_tpu.train import TrainState
+from medfusion_tpu.utils import checkpoint as C
+
+ckpt_dir = sys.argv[3]
+sharding = NamedSharding(mesh, P("data"))
+local_w = (np.arange(global_batch, dtype=np.float32) * 2.0 + 1.0)[sl]
+w = jax.make_array_from_process_local_data(sharding, local_w, (global_batch,))
+# globalize_for_multihost: orbax refuses host-local scalars (step, optax
+# counts) in a multi-process save; they must be replicated global arrays
+state = C.globalize_for_multihost(TrainState.create({"w": w}, optax.sgd(0.1)), mesh)
+# every process calls save; orbax coordinates the distributed array write
+C.save_checkpoint(ckpt_dir, state, step=7)
+assert C.latest_step(ckpt_dir) == 7
+
+# restore into a sharded ZERO template — values must come from disk
+zeros = jax.make_array_from_process_local_data(
+    sharding, np.zeros_like(local_w), (global_batch,))
+template = C.globalize_for_multihost(
+    TrainState.create({"w": zeros}, optax.sgd(0.1)), mesh)
+restored = C.restore_checkpoint(ckpt_dir, template)
+shards = restored.params["w"].addressable_shards
+assert len(shards) == 1, len(shards)
+np.testing.assert_allclose(np.asarray(shards[0].data), local_w)
+print(f"proc {pid} ckpt OK", flush=True)
 """
 
 
@@ -71,8 +102,9 @@ def test_two_process_distributed_init_and_psum(tmp_path):
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": str(Path(__file__).resolve().parent.parent),
     }
+    ckpt_dir = tmp_path / "shared_ckpt"
     procs = [
-        subprocess.Popen([sys.executable, str(worker), coord, str(i)],
+        subprocess.Popen([sys.executable, str(worker), coord, str(i), str(ckpt_dir)],
                          env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
         for i in range(2)
@@ -89,3 +121,4 @@ def test_two_process_distributed_init_and_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"proc {i} OK" in out
+        assert f"proc {i} ckpt OK" in out  # coordinated orbax save/restore

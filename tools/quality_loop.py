@@ -1,0 +1,219 @@
+"""Recorded end-to-end quality loop at toy scale — BASELINE config 5
+(reference: sample_dataset.py:22-57 bulk sampling + evaluate_images.py:71-121
+FID/P-R), run hermetically on an 8-virtual-device CPU mesh:
+
+  1. train the two-stage stack (VAE then latent diffusion) on
+     SyntheticDataset2D class-conditional blobs;
+  2. mesh-sharded bulk-sample >= 1024 images via parallel/sampling
+     (per-chunk conditions, un_cond = 1 - label like sample_dataset);
+  3. featurize real + fake with the in-framework InceptionV3 (random-init —
+     pretrained weights are unobtainable in this zero-egress image, so the
+     ABSOLUTE FID is not paper-comparable; the TRAINED-vs-UNTRAINED contrast
+     under one fixed featurizer is the recorded evidence) and compute
+     FID + Improved Precision/Recall (knn=3);
+  4. repeat the sample+eval with the UNTRAINED diffusion model and assert
+     trained FID << untrained FID and trained precision/recall > 0.
+
+Run:  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/quality_loop.py
+Prints a JSON summary; the numbers are recorded in PARITY.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+import optax  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medfusion_tpu.core.schedules import GaussianDiffusionSchedule  # noqa: E402
+from medfusion_tpu.data import SyntheticDataset2D  # noqa: E402
+from medfusion_tpu.metrics import (  # noqa: E402
+    FrechetInceptionDistance,
+    ImprovedPrecisionRecall,
+    InceptionV3,
+)
+from medfusion_tpu.models.latent_embedders import VAE  # noqa: E402
+from medfusion_tpu.models.unet import UNet  # noqa: E402
+from medfusion_tpu.parallel import make_mesh, make_sharded_sampler  # noqa: E402
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline  # noqa: E402
+from medfusion_tpu.train import (  # noqa: E402
+    AutoencoderTrainer,
+    TrainState,
+    make_autoencoder_train_step,
+    make_diffusion_train_step,
+)
+
+IMG, CH, CLASSES = 32, 1, 2
+N_REAL = 256
+N_FAKE = 1024
+AE_STEPS = 300
+DIFF_STEPS = 800
+BATCH = 16
+SAMPLE_STEPS = 50
+KEY = jax.random.PRNGKey(0)
+
+
+def dataset_arrays():
+    ds = SyntheticDataset2D(n=N_REAL, image_size=IMG, channels=CH,
+                            num_classes=CLASSES, seed=0)
+    x = jnp.asarray(np.stack([ds[i]["source"] for i in range(N_REAL)]))
+    y = jnp.asarray([ds[i]["target"] for i in range(N_REAL)], jnp.int32)
+    return x, y
+
+
+def train_vae(x):
+    vae = VAE(in_channels=CH, out_channels=CH, emb_channels=2, hid_chs=(16, 32),
+              strides=(1, 2), kernel_sizes=(3, 3), deep_supervision=0,
+              norm_name=("GROUP", {"num_groups": 8, "affine": True}))
+    params = vae.init({"params": KEY, "sample": KEY}, x[:2])["params"]
+    trainer = AutoencoderTrainer(autoencoder=vae, flavor="vae", perceiver=None,
+                                 embedding_loss_weight=1e-6)
+    state = TrainState.create(params, optax.adam(2e-3))
+    step = make_autoencoder_train_step(trainer, donate=False)
+    t0 = time.time()
+    for i in range(AE_STEPS):
+        idx = np.random.default_rng(i).choice(N_REAL, BATCH, replace=False)
+        state, m = step(state, None, {"source": x[idx]}, jax.random.fold_in(KEY, i))
+    print(f"# VAE: {AE_STEPS} steps in {time.time()-t0:.0f}s  "
+          f"L1={float(m['L1']):.4f}", flush=True)
+    return vae, state.params
+
+
+def build_pipe(vae, unet_params_init=False):
+    unet = UNet(in_ch=2, out_ch=2, hid_chs=(32, 64), kernel_sizes=(3, 3),
+                strides=(1, 2), time_emb_dim=64, cond_emb_num_classes=CLASSES,
+                norm_name=("GROUP", {"num_groups": 8, "affine": True}),
+                deep_supervision=0)
+    sched = GaussianDiffusionSchedule.create(
+        timesteps=200, schedule_strategy="scaled_linear",
+        beta_start=0.002, beta_end=0.02)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             latent_embedder=vae, do_input_centering=False,
+                             clip_x0=True,
+                             classifier_free_guidance_dropout=0.0)
+    return pipe, unet
+
+
+def train_diffusion(pipe, unet, vae_params, x, y):
+    z0 = jnp.zeros((2, IMG // 2, IMG // 2, 2))
+    params = unet.init(KEY, z0, jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2,), jnp.int32))["params"]
+    state = TrainState.create(params, optax.adamw(2e-3))
+    step = make_diffusion_train_step(pipe, donate=False)
+    t0 = time.time()
+    for i in range(DIFF_STEPS):
+        idx = np.random.default_rng(1000 + i).choice(N_REAL, BATCH, replace=False)
+        batch = {"source": x[idx], "target": y[idx]}
+        state, m = step(state, vae_params, batch,
+                        jax.random.fold_in(KEY, 10_000 + i))
+    print(f"# diffusion: {DIFF_STEPS} steps in {time.time()-t0:.0f}s  "
+          f"loss={float(m['loss']):.4f}", flush=True)
+    return params
+
+
+def bulk_sample(pipe, params, tag):
+    """Mesh-sharded bulk sampling, sample_dataset protocol: per-chunk labels,
+    un_cond = 1 - label, guidance 1."""
+    mesh = make_mesh(n_model=1)
+    sampler = make_sharded_sampler(pipe, mesh, (IMG // 2, IMG // 2, 2),
+                                   steps=SAMPLE_STEPS, use_ddim=True, eta=1.0,
+                                   guidance_scale=1.0, decode=True)
+    cond = jnp.asarray([i % CLASSES for i in range(N_FAKE)], jnp.int32)
+    t0 = time.time()
+    out = sampler(params, jax.random.PRNGKey(42), N_FAKE,
+                  condition=cond, un_cond=1 - cond)
+    out = np.asarray(out)
+    print(f"# bulk sample[{tag}]: {N_FAKE} imgs on mesh {dict(mesh.shape)} "
+          f"in {time.time()-t0:.0f}s", flush=True)
+    return out
+
+
+def to_uint8(x):
+    return np.clip((np.asarray(x) + 1) * 127.5, 0, 255).astype(np.uint8)
+
+
+def evaluate(real_u8, fake_u8):
+    """evaluate_images protocol: uint8 in, InceptionV3-2048 features,
+    FID + IPR(knn=3)."""
+    net = InceptionV3()
+    net_params = net.init(jax.random.PRNGKey(7),
+                          jnp.zeros((1, IMG, IMG, 3), jnp.uint8))["params"]
+    feat = jax.jit(lambda im: net.apply({"params": net_params}, im))
+
+    def features(u8):
+        if u8.shape[-1] == 1:
+            u8 = np.repeat(u8, 3, axis=-1)
+        chunks = [np.asarray(feat(jnp.asarray(u8[i:i + 64])))
+                  for i in range(0, len(u8), 64)]
+        return jnp.asarray(np.concatenate(chunks))
+
+    f_real = features(real_u8)
+    f_fake = features(fake_u8)
+    fid = FrechetInceptionDistance()
+    fid.update(f_real, real=True)
+    fid.update(f_fake, real=False)
+    ipr = ImprovedPrecisionRecall(knn=3)
+    ipr.update(f_real, real=True)
+    ipr.update(f_fake, real=False)
+    precision, recall = ipr.compute()
+    return float(fid.compute()), float(precision), float(recall)
+
+
+def main():
+    assert jax.device_count() >= 8, (
+        "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    x, y = dataset_arrays()
+    real_u8 = to_uint8(x)
+
+    vae, vae_params = train_vae(x)
+    pipe, unet = build_pipe(vae)
+
+    # UNTRAINED control: random-init UNet through the same sample+eval path
+    z0 = jnp.zeros((2, IMG // 2, IMG // 2, 2))
+    untrained = unet.init(jax.random.PRNGKey(99), z0, jnp.zeros((2,), jnp.int32),
+                          jnp.zeros((2,), jnp.int32))["params"]
+    fake_untrained = bulk_sample(
+        pipe, {"noise_estimator": untrained, "latent_embedder": vae_params},
+        "untrained")
+    fid_u, p_u, r_u = evaluate(real_u8, to_uint8(fake_untrained))
+    print(f"# untrained: FID={fid_u:.1f} P={p_u:.3f} R={r_u:.3f}", flush=True)
+
+    trained = train_diffusion(pipe, unet, vae_params, x, y)
+    fake_trained = bulk_sample(
+        pipe, {"noise_estimator": trained, "latent_embedder": vae_params},
+        "trained")
+    fid_t, p_t, r_t = evaluate(real_u8, to_uint8(fake_trained))
+    print(f"# trained:   FID={fid_t:.1f} P={p_t:.3f} R={r_t:.3f}", flush=True)
+
+    ok = fid_t < 0.5 * fid_u and p_t > 0 and r_t > 0
+    print(json.dumps({
+        "protocol": "toy BASELINE-5: train AE+diffusion on synthetic blobs, "
+                    "mesh-sharded bulk sample %d, FID/P-R vs %d real "
+                    "(random-init InceptionV3 featurizer)" % (N_FAKE, N_REAL),
+        "untrained": {"fid": round(fid_u, 2), "precision": round(p_u, 4),
+                      "recall": round(r_u, 4)},
+        "trained": {"fid": round(fid_t, 2), "precision": round(p_t, 4),
+                    "recall": round(r_t, 4)},
+        "trained_much_better": ok,
+    }))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
