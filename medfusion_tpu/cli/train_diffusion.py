@@ -75,6 +75,9 @@ def main(argv=None):
                          "(arXiv:2305.08891); requires --objective v or x_0 "
                          "-- the model then truly learns to start from pure "
                          "noise. Sample with --timestep-spacing trailing")
+    ap.add_argument("--min-snr-gamma", type=float, default=None,
+                    help="Min-SNR-gamma loss weighting (arXiv:2303.09556; "
+                         "paper default 5.0; off when unset)")
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
@@ -126,6 +129,7 @@ def _train(args, resume: bool):
         use_self_conditioning=False,
         classifier_free_guidance_dropout=p.cfg_dropout,
         do_input_centering=False, clip_x0=False, loss="l1",
+        min_snr_gamma=args.min_snr_gamma,
     )
 
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)

@@ -413,6 +413,37 @@ def estimate_x_T_from_v(
     )
 
 
+def snr(sched: GaussianDiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Signal-to-noise ratio abar_t / (1 - abar_t) per sample ([B])."""
+    ab = sched.alphas_cumprod[t]
+    return ab / (1.0 - ab)
+
+
+def min_snr_weight(
+    sched: GaussianDiffusionSchedule,
+    t: jnp.ndarray,
+    gamma: float,
+    objective: str,
+) -> jnp.ndarray:
+    """Min-SNR-gamma per-sample loss weight (Hang et al., *Efficient
+    Diffusion Training via Min-SNR Weighting*, arXiv:2303.09556 — beyond the
+    reference, which weights all timesteps equally).
+
+    Balances the effective per-timestep gradient scale so easy low-noise
+    steps stop dominating training: clamp SNR at gamma (paper default 5),
+    then express in each parameterization's native loss space:
+      eps: min(SNR, g)/SNR      x_0: min(SNR, g)      v: min(SNR, g)/(SNR+1)
+    The v form stays finite at SNR=0, so it composes with zero-terminal-SNR
+    schedules."""
+    s = snr(sched, t)
+    clamped = jnp.minimum(s, gamma)
+    if objective == "x_T":
+        return clamped / jnp.maximum(s, 1e-20)
+    if objective == "v":
+        return clamped / (s + 1.0)
+    return clamped  # x_0
+
+
 def kl_gaussians(mean1, logvar1, mean2, logvar2):
     """Closed-form KL(N1||N2) per element (utils/math_utils.py:3-5)."""
     return 0.5 * (

@@ -76,6 +76,10 @@ class DiffusionPipeline:
     # switch to forms that stay finite at abar_t = 0. Implied automatically
     # by a schedule created with zero_terminal_snr=True.
     zero_terminal_snr: bool = False
+    # Min-SNR-gamma loss weighting (arXiv:2303.09556): per-sample weight
+    # min(SNR_t, gamma) in the objective's native space. None = off
+    # (reference behavior: uniform weighting); paper default gamma=5.0.
+    min_snr_gamma: Optional[float] = None
 
     def __post_init__(self):
         if self.estimator_objective not in ("x_T", "x_0", "v"):
@@ -197,7 +201,18 @@ class DiffusionPipeline:
         weights = [1 / 2**i for i in range(1 + len(pred_vertical))]
         weights = [w / sum(weights) for w in weights]
 
-        loss = loss_fct(pred, target) * weights[0]
+        if self.min_snr_gamma is not None:
+            # per-sample Min-SNR weight on the main objective term
+            # (arXiv:2303.09556); elementwise loss -> per-sample mean ->
+            # weighted batch mean, so the scalar equals loss_fct when w == 1
+            w_snr = S.min_snr_weight(sched, t, self.min_snr_gamma,
+                                     self.estimator_objective)
+            elt = (jnp.abs(pred - target) if self.loss == "l1"
+                   else (pred - target) ** 2)
+            per_sample = jnp.mean(elt, axis=tuple(range(1, elt.ndim)))
+            loss = jnp.mean(w_snr * per_sample) * weights[0]
+        else:
+            loss = loss_fct(pred, target) * weights[0]
         metrics: Dict[str, jnp.ndarray] = {}
 
         if self.estimate_variance:
