@@ -102,6 +102,9 @@ def main(argv=None):
     if args.classifier_ckpt and args.encoder_key_every > 1:
         ap.error("--classifier-ckpt guidance is not wired into the "
                  "encoder-propagation fast sampler; drop --encoder-key-every")
+    if args.guidance_rescale > 0 and args.encoder_key_every > 1:
+        ap.error("--guidance-rescale is not wired into the encoder-"
+                 "propagation fast sampler; drop --encoder-key-every")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)

@@ -58,8 +58,9 @@ def main(argv=None):
                          "or PatchGAN (reference NLayerDiscriminator, BatchNorm)")
     ap.add_argument("--lr-schedule", choices=("const", "cosine", "lambda_linear"),
                     default="const",
-                    help="per-step LR schedule for the (non-GAN) AE optimizer "
-                         "(lambda_linear = the vendored SD LambdaLinearScheduler)")
+                    help="per-step LR schedule (applies to the AE optimizer; "
+                         "with --gan, to both players' optimizers; "
+                         "lambda_linear = the vendored SD LambdaLinearScheduler)")
     ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
@@ -127,9 +128,15 @@ def _train(args, resume: bool):
         shapes = [(1, p.image_size // (2**i), p.image_size // (2**i), p.in_channels)
                   for i in range(n_disc)]
         disc_params = init_discriminators(disc, key, shapes)
-        # reference VAEGAN lr 1e-6 for both players (latent_embedders.py:888-889)
+        # reference VAEGAN lr 1e-6 for both players (latent_embedders.py:888-889);
+        # --lr-schedule scales that base for BOTH players
+        from medfusion_tpu.train.lr_schedules import make_lr_schedule
+
+        gan_lr = make_lr_schedule(args.lr_schedule, 1e-6,
+                                  warmup_steps=args.warmup_steps,
+                                  total_steps=args.max_steps)
         state = GANTrainState.create(vae_params, disc_params,
-                                     optax.adam(1e-6), optax.adam(1e-6))
+                                     optax.adam(gan_lr), optax.adam(gan_lr))
         step_fn = make_adversarial_train_step(trainer, donate=False)
     else:
         from medfusion_tpu.train.lr_schedules import make_lr_schedule

@@ -332,7 +332,10 @@ def cold_diffusion_step(
     re-noising with the eps implied by (x_t, x_0).
     """
     x_0 = clip_x0(x_0) if clip else x_0
-    x_T_est = estimate_x_T(sched, x_t, x_0, t, clip=False)
+    # estimate_x_T_safe: algebraically equal to the reference form but finite
+    # at abar_t = 0 (zero-terminal-SNR schedules; the reference form is
+    # inf/inf = NaN at the terminal step)
+    x_T_est = estimate_x_T_safe(sched, x_t, x_0, t, clip=False)
     x_t_est = q_sample(sched, x_0, t, x_T_est)
     x_t_prior = q_sample(sched, x_0, t - 1, x_T_est)
     return x_t - (x_t_est - x_t_prior), x_0

@@ -48,6 +48,9 @@ def make_sharded_sampler(
     if classifier_apply is not None and encoder_key_every > 1:
         raise ValueError("classifier guidance is not wired into the "
                          "encoder-propagation fast sampler")
+    if guidance_rescale > 0 and encoder_key_every > 1:
+        raise ValueError("guidance_rescale is not wired into the "
+                         "encoder-propagation fast sampler")
 
     def _sample(params, rng, condition, un_cond, num_samples):
         k_init, k_loop = jax.random.split(rng)

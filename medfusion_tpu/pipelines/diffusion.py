@@ -38,15 +38,22 @@ from medfusion_tpu.core.schedules import GaussianDiffusionSchedule, kl_gaussians
 from medfusion_tpu.nn.functional import interpolate_area
 
 
-def _l1(pred, target):
-    return jnp.mean(jnp.abs(pred - target))
+def _l1_elt(pred, target):
+    return jnp.abs(pred - target)
 
 
-def _l2(pred, target):
-    return jnp.mean((pred - target) ** 2)
+def _l2_elt(pred, target):
+    return (pred - target) ** 2
 
 
-_LOSSES = {"l1": _l1, "l2": _l2, "mse": _l2}
+# One elementwise definition per loss; reductions (plain mean, or the
+# Min-SNR per-sample weighting) are applied at the call site so both paths
+# share the same math for every entry.
+_ELT_LOSSES = {"l1": _l1_elt, "l2": _l2_elt, "mse": _l2_elt}
+_LOSSES = {k: (lambda f: (lambda p, t: jnp.mean(f(p, t))))(f)
+           for k, f in _ELT_LOSSES.items()}
+_l1 = _LOSSES["l1"]
+_l2 = _LOSSES["l2"]
 
 
 def gaussian_nll(pred, target, var, eps: float = 1e-6):
@@ -172,6 +179,10 @@ class DiffusionPipeline:
                 self_cond = S.estimate_x_0(sched, x_t, pred_sc, t, clip=self.clip_x0)
             elif self.estimator_objective == "v":
                 self_cond = S.estimate_x_0_from_v(sched, x_t, pred_sc, t, clip=self.clip_x0)
+            elif self._terminal_safe:
+                # x_0 objective on a zero-SNR schedule: the reference-form
+                # inversion is inf/inf = NaN whenever t lands on T-1
+                self_cond = S.estimate_x_T_safe(sched, x_t, pred_sc, t, clip=self.clip_x0)
             else:
                 self_cond = S.estimate_x_T(sched, x_t, pred_sc, t, clip=self.clip_x0)
             self_cond = jax.lax.stop_gradient(self_cond)
@@ -207,8 +218,7 @@ class DiffusionPipeline:
             # weighted batch mean, so the scalar equals loss_fct when w == 1
             w_snr = S.min_snr_weight(sched, t, self.min_snr_gamma,
                                      self.estimator_objective)
-            elt = (jnp.abs(pred - target) if self.loss == "l1"
-                   else (pred - target) ** 2)
+            elt = _ELT_LOSSES[self.loss](pred, target)
             per_sample = jnp.mean(elt, axis=tuple(range(1, elt.ndim)))
             loss = jnp.mean(w_snr * per_sample) * weights[0]
         else:
@@ -281,15 +291,29 @@ class DiffusionPipeline:
             pred_uncond, pred_cond = pred2[:b], pred2[b:]
             guided = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
             if guidance_rescale > 0.0:
-                axes = tuple(range(1, guided.ndim))
-                std_cond = jnp.std(pred_cond, axis=axes, keepdims=True)
-                std_guided = jnp.std(guided, axis=axes, keepdims=True)
-                rescaled = guided * (std_cond / jnp.clip(std_guided, 1e-8))
-                guided = guidance_rescale * rescaled + (1 - guidance_rescale) * guided
+                if self.estimate_variance:
+                    # only the mean (eps) half is std-rescaled; the [-1,1]
+                    # var_scale channels pass through the plain CFG lerp
+                    g_eps, g_var = jnp.split(guided, 2, axis=-1)
+                    c_eps, _ = jnp.split(pred_cond, 2, axis=-1)
+                    g_eps = self._rescale_guided(g_eps, c_eps, guidance_rescale)
+                    guided = jnp.concatenate([g_eps, g_var], axis=-1)
+                else:
+                    guided = self._rescale_guided(guided, pred_cond, guidance_rescale)
             return guided
         cond_mask = None if condition is None else jnp.ones((b,), x_t.dtype)
         pred, _ = self._apply_estimator(params, x_t, t, condition, self_cond, cond_mask)
         return pred
+
+    @staticmethod
+    def _rescale_guided(guided, cond, phi):
+        """std-pin the guided prediction to the conditional one, lerp by phi
+        (arXiv:2305.08891 eq. 15-16)."""
+        axes = tuple(range(1, guided.ndim))
+        std_cond = jnp.std(cond, axis=axes, keepdims=True)
+        std_guided = jnp.std(guided, axis=axes, keepdims=True)
+        rescaled = guided * (std_cond / jnp.clip(std_guided, 1e-8))
+        return phi * rescaled + (1 - phi) * guided
 
     def estimate(
         self,
@@ -515,7 +539,7 @@ class DiffusionPipeline:
         def x0_pred(x, t_scalar):
             t_b = jnp.full((b,), t_scalar, jnp.int32)
             pred = self._guided_pred(params, x, t_b, condition, None,
-                                     guidance_scale, un_cond)
+                                     guidance_scale, un_cond, guidance_rescale)
             if self.estimate_variance:
                 pred, _ = jnp.split(pred, 2, axis=-1)
             if classifier_grad is not None:

@@ -70,9 +70,12 @@ def make_lr_schedule(name: str, base_lr: float, warmup_steps: int = 0,
             return optax.linear_schedule(0.0, base_lr, warmup_steps)
         return optax.constant_schedule(base_lr)
     if name == "cosine":
+        warm = max(warmup_steps, 1)
+        # decay_steps is the TOTAL length incl. warmup and must exceed it
+        # (short smoke runs would otherwise hand optax a negative decay)
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=base_lr,
-            warmup_steps=max(warmup_steps, 1), decay_steps=total_steps)
+            warmup_steps=warm, decay_steps=max(total_steps, warm + 1))
     if name == "lambda_linear":
         mult = lambda_linear_schedule(
             warm_up_steps=(warmup_steps or 10000,),

@@ -195,6 +195,95 @@ def test_cfg_rescale_restores_conditional_std():
     np.testing.assert_allclose(np.asarray(off), np.asarray(plain), rtol=1e-6)
 
 
+def test_self_conditioning_train_loss_finite_on_zero_snr_x0_objective():
+    """Review regression: the self-cond pre-pass used the non-terminal-safe
+    eps inversion, NaN-poisoning x_0-objective training whenever the sampled
+    t hit T-1 on a zero-SNR schedule."""
+
+    class _Zero:
+        def apply(self, variables, x_t, t, condition=None, self_cond=None,
+                  cond_mask=None):
+            base = jnp.zeros_like(x_t)
+            if self_cond is not None:
+                base = base + 0.1 * self_cond  # self_cond reaches the loss
+            return base, []
+
+    sched = _zsnr_sched(T=4)  # tiny T: the uniform t draw hits T-1 quickly
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=_Zero(),
+                             latent_embedder=None, estimator_objective="x_0",
+                             use_self_conditioning=True,
+                             do_input_centering=False, clip_x0=False)
+    x = jnp.asarray(np.random.default_rng(4).uniform(-1, 1, (8, 4, 4, 1)).astype(np.float32))
+    for seed in range(6):
+        loss, _ = pipe.train_loss({"noise_estimator": {}}, {"source": x},
+                                  jax.random.PRNGKey(seed))
+        assert bool(jnp.isfinite(loss)), f"NaN loss at seed {seed}"
+
+
+def test_cold_diffusion_finite_on_zero_snr_schedule():
+    """Review regression: cold_diffusion_step used the non-terminal-safe eps
+    inversion (NaN at t = T-1 on zero-SNR schedules)."""
+    sched = _zsnr_sched(T=20)
+    rng = np.random.default_rng(5)
+    x_t = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    x_0 = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 4, 4, 1)).astype(np.float32))
+    t = jnp.full((2,), sched.T - 1, jnp.int32)
+    prior, _ = S.cold_diffusion_step(sched, x_t, t, x_0, clip=False)
+    assert np.all(np.isfinite(np.asarray(prior)))
+
+
+def test_dpmpp_guidance_rescale_changes_output():
+    """Review regression: denoise_dpmpp accepted guidance_rescale but never
+    forwarded it to _guided_pred (silent no-op)."""
+
+    class _CondModel:
+        def apply(self, variables, x_t, t, condition=None, self_cond=None,
+                  cond_mask=None):
+            scale = 1.0 + 4.0 * cond_mask.reshape(-1, *([1] * (x_t.ndim - 1)))
+            return x_t * 0.1 * scale, []
+
+    sched = GaussianDiffusionSchedule.create(timesteps=20, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=_CondModel(),
+                             latent_embedder=None, do_input_centering=False,
+                             estimator_objective="x_0", clip_x0=False)
+    x_T = jax.random.normal(jax.random.PRNGKey(6), (2, 4, 4, 1))
+    cond = jnp.ones((2,), jnp.int32)
+    base = pipe.denoise_dpmpp({"noise_estimator": {}}, x_T, condition=cond,
+                              steps=5, guidance_scale=8.0)
+    resc = pipe.denoise_dpmpp({"noise_estimator": {}}, x_T, condition=cond,
+                              steps=5, guidance_scale=8.0, guidance_rescale=1.0)
+    assert not np.allclose(np.asarray(base), np.asarray(resc))
+
+
+def test_cfg_rescale_leaves_variance_channels_untouched():
+    """Review regression: with estimate_variance=True the rescale must apply
+    to the eps half only — the var channels keep the plain CFG lerp."""
+
+    class _VarModel:
+        def apply(self, variables, x_t, t, condition=None, self_cond=None,
+                  cond_mask=None):
+            scale = 1.0 + 4.0 * cond_mask.reshape(-1, *([1] * (x_t.ndim - 1)))
+            eps = x_t * scale
+            var = jnp.full_like(x_t, 0.25) * scale
+            return jnp.concatenate([eps, var], axis=-1), []
+
+    sched = GaussianDiffusionSchedule.create(timesteps=10, schedule_strategy="linear")
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=_VarModel(),
+                             latent_embedder=None, do_input_centering=False,
+                             estimate_variance=True)
+    x_t = jnp.asarray(np.random.default_rng(9).standard_normal((2, 4, 4, 1)).astype(np.float32))
+    t = jnp.full((2,), 5, jnp.int32)
+    cond = jnp.ones((2,), jnp.int32)
+    plain = pipe._guided_pred({"noise_estimator": {}}, x_t, t, cond, guidance_scale=8.0)
+    resc = pipe._guided_pred({"noise_estimator": {}}, x_t, t, cond,
+                             guidance_scale=8.0, guidance_rescale=1.0)
+    _, var_plain = np.split(np.asarray(plain), 2, axis=-1)
+    eps_plain, _ = np.split(np.asarray(plain), 2, axis=-1)
+    eps_resc, var_resc = np.split(np.asarray(resc), 2, axis=-1)
+    np.testing.assert_allclose(var_resc, var_plain, rtol=1e-6)  # var untouched
+    assert not np.allclose(eps_resc, eps_plain)  # eps rescaled
+
+
 def test_q_sample_at_terminal_step_is_pure_noise():
     sched = _zsnr_sched()
     rng = np.random.default_rng(9)
