@@ -53,6 +53,8 @@ def latent_stats(args):
     save_image_grid(np.concatenate([np.asarray(x), np.asarray(dec)]),
                     out / "roundtrip.png", nrow=x.shape[0])
     print(f"latent shape {z.shape}, mean {float(z.mean()):.4f}, std {float(z.std()):.4f}")
+    print(f"suggested: train_diffusion/sample --latent-shift {float(z.mean()):.4f} "
+          f"--latent-scale {1.0 / max(float(z.std()), 1e-8):.4f}")
     print(f"wrote {out}/latent_hist.png and {out}/roundtrip.png")
 
 

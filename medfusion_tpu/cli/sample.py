@@ -35,7 +35,9 @@ def load_pipeline(args, p):
                                  p, zero_terminal_snr=getattr(args, "zero_terminal_snr", False)),
                              noise_estimator=unet,
                              latent_embedder=vae, do_input_centering=False, clip_x0=False,
-                             estimator_objective=getattr(args, "objective", "x_T"))
+                             estimator_objective=getattr(args, "objective", "x_T"),
+                             latent_scale=getattr(args, "latent_scale", 1.0),
+                             latent_shift=getattr(args, "latent_shift", 0.0))
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
     h, w, c = p.latent_shape
     z0 = np.zeros((1, h, w, c), np.float32)
@@ -95,6 +97,9 @@ def main(argv=None):
                     help="phi of arXiv:2305.08891 §3.4: rescale the CFG "
                          "output std toward the conditional prediction's "
                          "(0 = off; paper uses 0.7)")
+    ap.add_argument("--latent-scale", type=float, default=1.0,
+                    help="must match the value used at training time")
+    ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     if args.timestep_spacing is None:

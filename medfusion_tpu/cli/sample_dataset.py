@@ -62,6 +62,9 @@ def main(argv=None):
                          "(default for --zero-terminal-snr)")
     ap.add_argument("--guidance-rescale", type=float, default=0.0,
                     help="CFG rescale phi (arXiv:2305.08891 §3.4; 0 = off)")
+    ap.add_argument("--latent-scale", type=float, default=1.0,
+                    help="must match the value used at training time")
+    ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     if args.timestep_spacing is None:

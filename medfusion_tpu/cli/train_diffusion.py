@@ -75,6 +75,11 @@ def main(argv=None):
                          "(arXiv:2305.08891); requires --objective v or x_0 "
                          "-- the model then truly learns to start from pure "
                          "noise. Sample with --timestep-spacing trailing")
+    ap.add_argument("--latent-scale", type=float, default=1.0,
+                    help="standardize latents: diffusion runs on "
+                         "(z - shift) * scale (SD scale_factor pattern; get "
+                         "stats from `helpers latent-stats`: scale = 1/std)")
+    ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--min-snr-gamma", type=float, default=None,
                     help="Min-SNR-gamma loss weighting (arXiv:2303.09556; "
                          "paper default 5.0; off when unset)")
@@ -130,6 +135,7 @@ def _train(args, resume: bool):
         classifier_free_guidance_dropout=p.cfg_dropout,
         do_input_centering=False, clip_x0=False, loss="l1",
         min_snr_gamma=args.min_snr_gamma,
+        latent_scale=args.latent_scale, latent_shift=args.latent_shift,
     )
 
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)

@@ -87,6 +87,14 @@ class DiffusionPipeline:
     # min(SNR_t, gamma) in the objective's native space. None = off
     # (reference behavior: uniform weighting); paper default gamma=5.0.
     min_snr_gamma: Optional[float] = None
+    # Latent standardization (SD's scale_factor, generalized with a shift):
+    # diffusion runs on (z - latent_shift) * latent_scale; decode inverts.
+    # The reference trains on raw VAE latents (whatever scale they landed
+    # at); standardizing to ~unit scale makes the N(0,1) sampling prior,
+    # x0-clipping and schedule SNRs mean what they claim. Compute stats with
+    # `cli/helpers latent-stats` and pass --latent-scale/--latent-shift.
+    latent_scale: float = 1.0
+    latent_shift: float = 0.0
 
     def __post_init__(self):
         if self.estimator_objective not in ("x_T", "x_0", "v"):
@@ -121,18 +129,24 @@ class DiffusionPipeline:
         return y, y_ver
 
     def encode_latent(self, params, x, rng):
-        """Frozen latent-embedder encode (diffusion_pipeline.py:86-90)."""
+        """Frozen latent-embedder encode (diffusion_pipeline.py:86-90),
+        followed by the optional standardization (z - shift) * scale."""
         if self.latent_embedder is None:
             return x
         le_params = jax.lax.stop_gradient(params["latent_embedder"])
-        return self.latent_embedder.apply(
+        z = self.latent_embedder.apply(
             {"params": le_params}, x,
             method=self.latent_embedder.encode, rngs={"sample": rng},
         )
+        if self.latent_scale != 1.0 or self.latent_shift != 0.0:
+            z = (z - self.latent_shift) * self.latent_scale
+        return z
 
     def decode_latent(self, params, z):
         if self.latent_embedder is None:
             return z
+        if self.latent_scale != 1.0 or self.latent_shift != 0.0:
+            z = z / self.latent_scale + self.latent_shift
         if self.compute_dtype is not None:
             z = z.astype(self.compute_dtype)
         out = self.latent_embedder.apply(
