@@ -20,6 +20,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -83,6 +84,9 @@ def main(argv=None):
     ap.add_argument("--min-snr-gamma", type=float, default=None,
                     help="Min-SNR-gamma loss weighting (arXiv:2303.09556; "
                          "paper default 5.0; off when unset)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 estimator fwd/bwd "
+                         "(MXU-native), f32 master weights/optimizer/loss")
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
@@ -152,7 +156,9 @@ def _train(args, resume: bool):
     state = TrainState.create(unet_params, optax.adamw(lr), use_ema=args.use_ema)
     # donate=True buys memory headroom (in-place state update); re-validated
     # working on the axon tunnel in round 2 (was InvalidArgument in round 1).
-    step_fn = make_diffusion_train_step(pipe, donate=not args.no_donate)
+    step_fn = make_diffusion_train_step(
+        pipe, donate=not args.no_donate,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16), seed=args.seed)
     if args.grain:

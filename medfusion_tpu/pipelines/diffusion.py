@@ -134,10 +134,19 @@ class DiffusionPipeline:
         if self.latent_embedder is None:
             return x
         le_params = jax.lax.stop_gradient(params["latent_embedder"])
+        if self.compute_dtype is not None:
+            # frozen encoder rides the compute dtype too (it is a real chunk
+            # of the train step at 256^2); the latent returns to f32 for the
+            # scheduler math
+            x = x.astype(self.compute_dtype)
+            le_params = jax.tree_util.tree_map(
+                lambda v: v.astype(self.compute_dtype), le_params)
         z = self.latent_embedder.apply(
             {"params": le_params}, x,
             method=self.latent_embedder.encode, rngs={"sample": rng},
         )
+        if self.compute_dtype is not None:
+            z = z.astype(jnp.float32)
         if self.latent_scale != 1.0 or self.latent_shift != 0.0:
             z = (z - self.latent_shift) * self.latent_scale
         return z
