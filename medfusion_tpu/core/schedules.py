@@ -361,7 +361,11 @@ def ddim_step(
     (diffusion_pipeline.py:297-304)."""
     alpha_next = sched.alphas_cumprod[t_next]
     sigma = ddim_sigma(sched, t, t_next, eta)
-    c = jnp.sqrt(1 - alpha_next - sigma**2)
+    # clamp: at abar_t = 0 (zero-terminal-SNR terminal step) sigma^2 equals
+    # 1 - abar_next EXACTLY in real arithmetic, and one ulp of f32 rounding
+    # makes the radicand negative -> sqrt = NaN poisoning the whole scan
+    # (bisected: trailing spacing + eta=1.0 on a zero-SNR schedule)
+    c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma**2, 0.0))
     return x_0 * jnp.sqrt(alpha_next) + c * x_T + sigma * noise
 
 

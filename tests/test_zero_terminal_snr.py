@@ -284,6 +284,30 @@ def test_cfg_rescale_leaves_variance_channels_untouched():
     assert not np.allclose(eps_resc, eps_plain)  # eps rescaled
 
 
+def test_stochastic_ddim_trailing_finite_on_zero_snr():
+    """Regression (bisected in the quality-loop run): with trailing spacing
+    AND eta=1.0, the first transition has sigma^2 == 1 - abar_next exactly;
+    one ulp of f32 rounding made ddim_step's sqrt(1 - abar_next - sigma^2)
+    NaN, poisoning the entire scan."""
+    sched = _zsnr_sched(T=100)
+    rng = np.random.default_rng(11)
+    x_0 = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 8, 8, 1)).astype(np.float32))
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=_OracleV(sched, x_0),
+                             latent_embedder=None, estimator_objective="v",
+                             do_input_centering=False, clip_x0=False)
+    x_T = jax.random.normal(jax.random.PRNGKey(12), x_0.shape)
+    out = pipe.denoise({"noise_estimator": {}}, x_T, jax.random.PRNGKey(13),
+                       steps=25, use_ddim=True, eta=1.0,
+                       timestep_spacing="trailing")
+    assert np.all(np.isfinite(np.asarray(out)))
+    # direct unit check of the rounding edge
+    t = jnp.asarray(sched.T - 1)
+    t_next = jnp.asarray(90)
+    noise = jnp.zeros_like(x_0)
+    step = S.ddim_step(sched, x_0, x_T, t, t_next, noise, eta=1.0)
+    assert np.all(np.isfinite(np.asarray(step)))
+
+
 def test_q_sample_at_terminal_step_is_pure_noise():
     sched = _zsnr_sched()
     rng = np.random.default_rng(9)
