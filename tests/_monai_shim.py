@@ -307,6 +307,8 @@ def reference_models():
         emb_pkg.LabelEmbedder = cond_emb.LabelEmbedder
         unet2 = _load_as(REF / "models/estimators/unet2.py",
                          "medical_diffusion.models.estimators.unet2")
+        unet_legacy = _load_as(REF / "models/estimators/unet.py",
+                               "medical_diffusion.models.estimators.unet")
         latent = _load_as(REF / "models/embedders/latent_embedders.py",
                           "medical_diffusion.models.embedders.latent_embedders")
     finally:
@@ -318,6 +320,7 @@ def reference_models():
 
     ns = types.SimpleNamespace(
         UNet=unet2.UNet,
+        UNetLegacy=unet_legacy.UNet,
         VAE=latent.VAE,
         VQVAE=latent.VQVAE,
         VAEGAN=latent.VAEGAN,

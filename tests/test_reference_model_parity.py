@@ -203,6 +203,66 @@ def test_unet2_spatial_attention_parity_vs_reference_code():
     np.testing.assert_allclose(np.asarray(y), nhwc(t_y), rtol=3e-4, atol=3e-5)
 
 
+def test_unet_legacy_forward_parity_vs_reference_code():
+    """The LEGACY estimator family (estimators/unet.py:15-176) against the
+    reference's own code — previously only shape/smoke-tested. Covers the
+    emb-injected DownBlock/UpBlock path with additive skips and the
+    UnetOutBlock deep-supervision heads."""
+    from medfusion_tpu.models.unet_legacy import UNetLegacy
+
+    unet = UNetLegacy(in_ch=2, out_ch=2, hid_chs=(8, 16, 32), kernel_sizes=(1, 3, 3),
+                      strides=(1, 2, 2), time_emb_dim=32, cond_emb_num_classes=2,
+                      norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                      deep_supervision=1, use_attention="none")
+    x = np.random.default_rng(12).standard_normal((2, 16, 16, 2)).astype(np.float32)
+    t = np.asarray([4, 8], np.int64)
+    c = np.asarray([1, 0], np.int64)
+    params = _randomize(
+        unet.init(KEY, jnp.asarray(x), jnp.asarray(t, dtype=jnp.int32),
+                  jnp.asarray(c, dtype=jnp.int32))["params"], seed=13)
+    y, y_ver = unet.apply({"params": params}, jnp.asarray(x),
+                          jnp.asarray(t, dtype=jnp.int32), jnp.asarray(c, dtype=jnp.int32))
+
+    ref = R.UNetLegacy(
+        in_ch=2, out_ch=2, spatial_dims=2, hid_chs=[8, 16, 32],
+        kernel_sizes=[1, 3, 3], strides=[1, 2, 2],
+        norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+        time_embedder=R.time_embedder.TimeEmbbeding,
+        time_embedder_kwargs={"emb_dim": 32},
+        cond_embedder=R.cond_embedders.LabelEmbedder,
+        cond_embedder_kwargs={"emb_dim": 32, "num_classes": 2},
+        deep_supervision=1, use_res_block=True, use_attention="none")
+    ref.load_state_dict(_as_torch_sd(params, "unet"), strict=True)
+    ref.eval()
+    with torch.no_grad():
+        t_y, t_ver = ref(nchw(x), torch.from_numpy(t), torch.from_numpy(c))
+    np.testing.assert_allclose(np.asarray(y), nhwc(t_y), rtol=2e-4, atol=2e-5)
+    assert len(y_ver) == len(t_ver) == 1
+    np.testing.assert_allclose(np.asarray(y_ver[0]), nhwc(t_ver[0]), rtol=2e-4, atol=2e-5)
+
+
+def test_discriminator_forward_parity_vs_reference_code():
+    """The conv-stack GAN Discriminator (latent_embedders.py:76-131) against
+    the reference's own class (2D flavor)."""
+    from medfusion_tpu.models.latent_embedders import Discriminator
+
+    disc = Discriminator(spatial_dims=2, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                         strides=(1, 2),
+                         norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    x = np.random.default_rng(14).standard_normal((2, 16, 16, 1)).astype(np.float32)
+    params = _randomize(disc.init(KEY, jnp.asarray(x))["params"], seed=15)
+    y = disc.apply({"params": params}, jnp.asarray(x))
+
+    ref = R.Discriminator(in_channels=1, spatial_dims=2, hid_chs=[8, 16],
+                          kernel_sizes=[3, 3], strides=[1, 2],
+                          norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    ref.load_state_dict(_as_torch_sd(params, "vae"), strict=True)
+    ref.eval()
+    with torch.no_grad():
+        t_y = ref(nchw(x))
+    np.testing.assert_allclose(np.asarray(y), nhwc(t_y), rtol=2e-4, atol=2e-5)
+
+
 def test_vqvae_forward_parity_vs_reference_code():
     vq = VQVAE(in_channels=1, out_channels=1, emb_channels=2, num_embeddings=16,
                hid_chs=(4, 8), strides=(1, 2), kernel_sizes=(3, 3),
