@@ -138,7 +138,7 @@ def train_diffusion(pipe, unet, vae_params, x, y):
                         jax.random.fold_in(KEY, 10_000 + i))
     print(f"# diffusion: {DIFF_STEPS} steps in {time.time()-t0:.0f}s  "
           f"loss={float(m['loss']):.4f}", flush=True)
-    return params
+    return state.params
 
 
 def bulk_sample(pipe, params, tag):
@@ -154,8 +154,11 @@ def bulk_sample(pipe, params, tag):
     out = sampler(params, jax.random.PRNGKey(42), N_FAKE,
                   condition=cond, un_cond=1 - cond)
     out = np.asarray(out)
+    psum = float(sum(jnp.sum(jnp.abs(l)) for l in
+                     jax.tree_util.tree_leaves(params["noise_estimator"])))
     print(f"# bulk sample[{tag}]: {N_FAKE} imgs on mesh {dict(mesh.shape)} "
-          f"in {time.time()-t0:.0f}s", flush=True)
+          f"in {time.time()-t0:.0f}s  out mean {out.mean():.3f} std {out.std():.3f} "
+          f"param-L1 {psum:.1f}", flush=True)
     return out
 
 
@@ -166,14 +169,24 @@ def to_uint8(x):
 def evaluate(real_u8, fake_u8):
     """evaluate_images protocol shape: uint8 in, fixed featurizer,
     FID + IPR(knn=3). See the module docstring for why the featurizer is a
-    random pixel projection here rather than InceptionV3."""
-    d_in = IMG * IMG * real_u8.shape[-1]
+    random pixel projection rather than InceptionV3. Images are 4x4
+    average-pooled before projecting: the synthetic dataset carries i.i.d.
+    N(0,0.1) pixel noise that NO two-stage stack can reproduce (the VAE
+    bottleneck smooths it — recon L1 0.059 ~ the noise amplitude), so
+    raw-pixel recall is VAE-ceiling-bounded at ~0; pooling removes the
+    texture term while preserving the class/blob structure the generator is
+    actually supposed to match."""
+    pool = 4
+    side = IMG // pool
+    d_in = side * side * real_u8.shape[-1]
     proj = np.random.default_rng(7).normal(0.0, 1.0 / np.sqrt(d_in),
-                                           (d_in, 256)).astype(np.float32)
+                                           (d_in, 128)).astype(np.float32)
 
     def features(u8):
         x = u8.astype(np.float32) / 127.5 - 1.0
-        return jnp.asarray(x.reshape(len(x), -1) @ proj)
+        n, h, w, c = x.shape
+        x = x.reshape(n, side, pool, side, pool, c).mean(axis=(2, 4))
+        return jnp.asarray(x.reshape(n, -1) @ proj)
 
     f_real = features(real_u8)
     f_fake = features(fake_u8)
@@ -196,6 +209,14 @@ def main():
     vae, vae_params = train_vae(x)
     pipe, unet = build_pipe(vae)
 
+    # two-stage CEILING: VAE reconstructions of the real set — the best any
+    # diffusion stage on this VAE could look under the same metric
+    z_rec = vae.apply({"params": vae_params}, x, method=vae.encode,
+                      rngs={"sample": jax.random.PRNGKey(3)})
+    rec = vae.apply({"params": vae_params}, z_rec, method=vae.decode)
+    fid_c, p_c, r_c = evaluate(real_u8, to_uint8(np.asarray(rec)))
+    print(f"# vae-recon ceiling: FID={fid_c:.2f} P={p_c:.3f} R={r_c:.3f}", flush=True)
+
     # UNTRAINED control: random-init UNet through the same sample+eval path
     z0 = jnp.zeros((2, IMG // 2, IMG // 2, 2))
     untrained = unet.init(jax.random.PRNGKey(99), z0, jnp.zeros((2,), jnp.int32),
@@ -217,7 +238,7 @@ def main():
     print(json.dumps({
         "protocol": "toy BASELINE-5: train AE+diffusion on synthetic blobs, "
                     "mesh-sharded bulk sample %d, FID/P-R vs %d real "
-                    "(fixed random-projection pixel featurizer, 256-d)"
+                    "(4x4-pooled pixels -> 128-d random projection featurizer)"
                     % (N_FAKE, N_REAL),
         "untrained": {"fid": round(fid_u, 2), "precision": round(p_u, 4),
                       "recall": round(r_u, 4)},
