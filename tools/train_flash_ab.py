@@ -71,14 +71,16 @@ def time_steps(pipe, state, vae_params, batch_data, n_steps):
     s, m = jstep(state, vae_params, batch_data,
                  jax.random.PRNGKey(0))
     float(m["loss"])
-    times = []
+    # dispatch all steps asynchronously and block ONCE at the end: a per-step
+    # loss fetch through the axon tunnel costs tens of ms of pure latency and
+    # was inflating both arms (~90 ms/step measured with per-step sync vs the
+    # round-2 58 ms for this program)
+    t0 = time.perf_counter()
     for i in range(n_steps):
-        k = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        s, m = jstep(s, vae_params, batch_data, k)
-        float(m["loss"])  # sync
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), float(m["loss"])
+        s, m = jstep(s, vae_params, batch_data, jax.random.PRNGKey(i + 1))
+    loss = float(m["loss"])  # single sync
+    dt = (time.perf_counter() - t0) / n_steps
+    return dt, loss
 
 
 def main():
