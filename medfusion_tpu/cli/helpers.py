@@ -157,6 +157,34 @@ def interpolate(args):
     # per-dispatch latency n times over).
     from medfusion_tpu.core import schedules as S
 
+    if getattr(args, "ddim_invert", False):
+        # Noise-space interpolation via deterministic DDIM inversion
+        # (pipe.invert): endpoints reconstruct the inputs faithfully under
+        # the eta=0 denoise, and intermediate noises are slerped (the
+        # standard interpolation for ~N(0,1) vectors — lerp shrinks norms).
+        zT1 = pipe.invert(params, z1, steps=i_step)
+        zT2 = pipe.invert(params, z2, steps=i_step)
+        lams = jnp.linspace(0.0, 1.0, args.n).reshape(-1, 1, 1, 1)
+        f1, f2 = zT1.reshape(-1), zT2.reshape(-1)
+        omega = jnp.arccos(jnp.clip(
+            jnp.vdot(f1, f2) / (jnp.linalg.norm(f1) * jnp.linalg.norm(f2)),
+            -1.0, 1.0))
+        so = jnp.sin(omega)
+        w1, w2 = jnp.where(  # lerp fallback when the noises are near-parallel
+            so > 1e-6,
+            jnp.stack([jnp.sin((1.0 - lams) * omega) / jnp.maximum(so, 1e-6),
+                       jnp.sin(lams * omega) / jnp.maximum(so, 1e-6)]),
+            jnp.stack([1.0 - lams, lams]))
+        x = w1 * zT1 + w2 * zT2
+        out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=True,
+                           eta=0.0)
+        rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
+        out_dir = Path(args.out)
+        save_image_grid(np.stack(rows), out_dir / "interpolation.png",
+                        nrow=len(rows))
+        print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, "
+              f"ddim-invert, {i_step} steps)")
+        return
     k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 1))
     tvec = jnp.full((1,), i_step, jnp.int32)
     z1t = S.q_sample(pipe.scheduler, z1, tvec,
@@ -178,11 +206,48 @@ def interpolate(args):
     print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, i={i_step})")
 
 
+def inpaint(args):
+    """Mask-guided regeneration of a dataset image (RePaint-style, see
+    ``DiffusionPipeline.sample_inpaint``; beyond the reference): keep the
+    image outside ``--box``, generate inside it conditioned on the kept
+    context. The fractional image-space box is mapped to the latent grid
+    (conservatively — any latent cell overlapping the box is regenerated)."""
+    from medfusion_tpu.cli.sample import load_pipeline
+
+    p = PRESETS[args.preset]
+    pipe, params = load_pipeline(args, p)
+    ds = build_dataset(p, args.data_root, n_synthetic=max(args.i1 + 1, 4),
+                       seed=args.seed)
+    x = jnp.asarray(ds[args.i1 % len(ds)]["source"])[None]
+    key = jax.random.PRNGKey(args.seed)
+    k_enc, k_loop = jax.random.split(key)
+    z = pipe.encode_latent(params, x, k_enc)
+    if pipe.do_input_centering:
+        z = 2 * z - 1
+    fx0, fy0, fx1, fy1 = (float(v) for v in args.box.split(","))
+    lh, lw = z.shape[1], z.shape[2]
+    y0, y1 = int(np.floor(fy0 * lh)), int(np.ceil(fy1 * lh))
+    x0, x1 = int(np.floor(fx0 * lw)), int(np.ceil(fx1 * lw))
+    mask = np.ones((1, lh, lw, 1), np.float32)  # 1 = keep
+    mask[:, y0:y1, x0:x1, :] = 0.0  # 0 = generate
+    out = pipe.sample_inpaint(params, k_loop, z, jnp.asarray(mask),
+                              steps=args.steps, use_ddim=True, eta=1.0)
+    ih, iw = x.shape[1], x.shape[2]
+    img_mask = np.ones((ih, iw, 1), np.float32)
+    img_mask[int(fy0 * ih):int(fy1 * ih), int(fx0 * iw):int(fx1 * iw)] = 0.0
+    masked_vis = np.asarray(x)[0] * img_mask - (1.0 - img_mask)
+    rows = [np.asarray(x)[0], masked_vis, np.asarray(out)[0]]
+    out_dir = Path(args.out)
+    save_image_grid(np.stack(rows), out_dir / "inpaint.png", nrow=3)
+    print(f"wrote {out_dir}/inpaint.png (box {args.box} -> latent "
+          f"[{y0}:{y1},{x0}:{x1}] of {lh}x{lw})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("latent-stats", "extract-vae", "export-gif", "export-images",
-                 "interpolate"):
+                 "interpolate", "inpaint"):
         s = sub.add_parser(name)
         s.add_argument("--preset", choices=sorted(PRESETS), default="smoke")
         s.add_argument("--data-root", default=None)
@@ -200,12 +265,21 @@ def main(argv=None):
         if name == "interpolate":
             s.add_argument("--i1", type=int, default=0)
             s.add_argument("--i2", type=int, default=1)
+            s.add_argument("--ddim-invert", action="store_true",
+                           help="interpolate in DDIM-inverted noise space "
+                                "(slerp) instead of stochastic q_sample "
+                                "noising — faithful endpoints")
+        if name == "inpaint":
+            s.add_argument("--i1", type=int, default=0,
+                           help="dataset index of the image to inpaint")
+            s.add_argument("--box", default="0.25,0.25,0.75,0.75",
+                           help="fractional x0,y0,x1,y1 region to REGENERATE")
     args = ap.parse_args(argv)
     if args.cmd == "export-gif" and args.out == "results/helpers":
         args.out = "results/helpers/trajectory.gif"
     {"latent-stats": latent_stats, "extract-vae": extract_vae,
      "export-gif": export_gif, "export-images": export_images,
-     "interpolate": interpolate}[args.cmd](args)
+     "interpolate": interpolate, "inpaint": inpaint}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -446,6 +446,8 @@ class DiffusionPipeline:
         classifier_scale: float = 0.0,
         guidance_rescale: float = 0.0,
         timestep_spacing: str = "linspace",
+        known=None,
+        mask=None,
     ):
         """Full reverse process as ONE ``lax.scan`` (replaces the reference's
         host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
@@ -453,7 +455,19 @@ class DiffusionPipeline:
         ``classifier_grad``/``classifier_scale``: see :meth:`estimate` (build
         one with :func:`make_classifier_grad`). ``guidance_rescale`` /
         ``timestep_spacing='trailing'``: zero-terminal-SNR sampling fixes
-        (arXiv:2305.08891, see :meth:`_guided_pred` / ``ddim_timesteps``)."""
+        (arXiv:2305.08891, see :meth:`_guided_pred` / ``ddim_timesteps``).
+
+        ``known``/``mask`` enable RePaint-style inpainting (Lugmayr et al.,
+        arXiv:2201.09865 eq. 8, the per-step projection; beyond the
+        reference): after every reverse transition the region where
+        ``mask == 1`` is replaced by ``known`` forward-diffused to the state's
+        noise level (exactly ``known`` on the final, clean state), so
+        generation only fills ``mask == 0``. ``known`` is a latent in the
+        sampler's working space (``encode_latent`` output, plus ``2x-1`` if
+        ``do_input_centering``); ``mask`` broadcasts against it
+        (1 = keep input, 0 = generate)."""
+        if (known is None) != (mask is None):
+            raise ValueError("inpainting needs BOTH known and mask (or neither)")
         sched = self.scheduler
         if use_ddim:
             n = sched.timesteps if steps is None else steps
@@ -474,7 +488,10 @@ class DiffusionPipeline:
         def body(carry, inp):
             x, self_cond = carry
             t_scalar, t_next, more, key = inp
-            k_anc, k_ddim = jax.random.split(key)
+            if known is not None:
+                k_anc, k_ddim, k_known = jax.random.split(key, 3)
+            else:
+                k_anc, k_ddim = jax.random.split(key)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
             sc = self_cond if self.use_self_conditioning else None
             anc_noise = jax.random.normal(k_anc, x.shape, x.dtype)
@@ -501,6 +518,19 @@ class DiffusionPipeline:
                 x_new = jnp.where(more, x_ddim, x_final)
             else:
                 x_new = x_prior
+            if known is not None:
+                # Project the known region to the new state's noise level:
+                # both sampler branches leave x_new at level t_next while
+                # more, and clean on the final transition (linspace ancestral
+                # ends at the t=0 posterior whose std is zeroed; trailing
+                # returns the x_0 prediction) — so the final projection
+                # composites `known` exactly.
+                t_next_b = jnp.full((b,), t_next, jnp.int32)
+                known_t = S.q_sample(
+                    sched, known, t_next_b,
+                    jax.random.normal(k_known, known.shape, known.dtype))
+                known_state = jnp.where(more, known_t, known)
+                x_new = mask * known_state + (1.0 - mask) * x_new
             return (x_new, new_sc), None
 
         (x_out, _), _ = jax.lax.scan(body, (x_t, init_self_cond), (ts_rev, ts_next, has_next, keys))
@@ -747,6 +777,84 @@ class DiffusionPipeline:
         img2_t = S.q_sample(sched, img2, t, jax.random.normal(k2, img2.shape, img2.dtype))
         img = (1 - lam) * img1_t + lam * img2_t
         return self.denoise(params, img, k_loop, condition=condition, steps=t_scalar, **kwargs)
+
+    def sample_inpaint(
+        self,
+        params,
+        rng,
+        known,
+        mask,
+        condition=None,
+        **kwargs,
+    ):
+        """Mask-guided generation (RePaint-style, arXiv:2201.09865; beyond
+        the reference): start from pure noise and :meth:`denoise` with the
+        per-step known-region projection, so the output equals ``known``
+        where ``mask == 1`` and is generated (consistently with it) where
+        ``mask == 0``. ``known`` is a latent in the sampler's working space
+        — encode images with :meth:`encode_latent` (and apply ``2x-1`` if
+        ``do_input_centering``); ``mask`` broadcasts against it."""
+        k_init, k_loop = jax.random.split(rng)
+        x_T = jax.random.normal(k_init, known.shape, known.dtype)
+        return self.denoise(params, x_T, k_loop, condition=condition,
+                            known=known, mask=mask, **kwargs)
+
+    def invert(
+        self,
+        params,
+        x_0,
+        condition=None,
+        steps: Optional[int] = None,
+        guidance_scale: float = 1.0,
+        un_cond=None,
+        guidance_rescale: float = 0.0,
+        timestep_spacing: str = "linspace",
+    ):
+        """Deterministic DDIM inversion (the eta=0 probability-flow update
+        run in the noising direction; Song et al. arXiv:2010.02502 §4.3,
+        diffusers' ``DDIMInverseScheduler`` convention of evaluating each
+        transition at its lower timestep, starting from t=0 on the clean
+        input). Beyond the reference, which only offers stochastic
+        ``q_sample`` noising (diffusion_pipeline.py:320-332): the returned
+        ``x_T`` reconstructs ``x_0`` under ``denoise(..., use_ddim=True,
+        eta=0.0)`` over the SAME grid up to discretization error, enabling
+        faithful reconstruction/editing and noise-space interpolation.
+
+        ``x_0`` is a latent in the sampler's working space (see
+        :meth:`sample_inpaint`). Predictions are NOT x0-clipped here —
+        clipping breaks invertibility. One ``lax.scan``, jit-safe."""
+        sched = self.scheduler
+        n = sched.timesteps if steps is None else steps
+        ts = sched.ddim_timesteps(n, spacing=timestep_spacing)  # ascending
+        b = x_0.shape[0]
+        # state entering transition i sits at level ts[i-1]; the clean input
+        # is evaluated at t=0
+        ts_eval = jnp.concatenate([jnp.zeros((1,), ts.dtype), ts[:-1]])
+
+        def body(x, inp):
+            t_eval, t_to = inp
+            t_b = jnp.full((b,), t_eval, jnp.int32)
+            pred = self._guided_pred(params, x, t_b, condition, None,
+                                     guidance_scale, un_cond, guidance_rescale)
+            if self.estimate_variance:
+                pred, _ = jnp.split(pred, 2, axis=-1)
+            if self.estimator_objective == "x_T":
+                eps = pred
+                x0p = S.estimate_x_0(sched, x, pred, t_b, clip=False)
+            elif self.estimator_objective == "v":
+                x0p = S.estimate_x_0_from_v(sched, x, pred, t_b, clip=False)
+                eps = S.estimate_x_T_from_v(sched, x, pred, t_b)
+            else:
+                x0p = pred
+                est = S.estimate_x_T_safe if self._terminal_safe else S.estimate_x_T
+                eps = est(sched, x, x_0=pred, t=t_b, clip=False)
+            t_to_b = jnp.full((b,), t_to, jnp.int32)
+            sa = S.extract(sched.sqrt_alphas_cumprod, t_to_b, x.ndim)
+            so = S.extract(sched.sqrt_one_minus_alphas_cumprod, t_to_b, x.ndim)
+            return sa * x0p + so * eps, None
+
+        x_T, _ = jax.lax.scan(body, x_0, (ts_eval, ts))
+        return x_T
 
     # ------------------------------------------------------------------
     # jit helpers

@@ -62,6 +62,21 @@ def build(batch):
     return pipe, state, vae_params, batch_data
 
 
+def step_flops(jstep, state, vae_params, batch_data):
+    """XLA cost-analysis FLOPs of ONE train step (fwd+bwd+optimizer), same
+    method as bench.py's sampling MFU. Reuses the ALREADY-COMPILED jit
+    instance so this costs no extra remote compile."""
+    try:
+        lowered = jstep.lower(state, vae_params, batch_data,
+                              jax.random.PRNGKey(0))
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001 - diagnostics-only path
+        print(f"# cost_analysis unavailable: {e}", flush=True)
+        return 0.0
+
+
 def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype):
     jstep = make_diffusion_train_step(pipe, donate=False,
                                       compute_dtype=compute_dtype)
@@ -76,7 +91,7 @@ def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype):
         s, m = jstep(s, vae_params, batch_data, jax.random.PRNGKey(i + 1))
     loss = float(m["loss"])  # single sync
     dt = (time.perf_counter() - t0) / n_steps
-    return dt, loss
+    return dt, loss, jstep
 
 
 def main():
@@ -87,13 +102,23 @@ def main():
 
     pipe, state, vae_params, batch_data = build(args.batch)
 
-    dt_f32, loss_f32 = time_steps(pipe, state, vae_params, batch_data,
-                                  args.steps, None)
+    dt_f32, loss_f32, _ = time_steps(pipe, state, vae_params, batch_data,
+                                     args.steps, None)
     print(f"# f32:  {dt_f32*1e3:.1f} ms/step  loss={loss_f32:.4f}", flush=True)
 
-    dt_bf16, loss_bf16 = time_steps(pipe, state, vae_params, batch_data,
-                                    args.steps, jnp.bfloat16)
+    dt_bf16, loss_bf16, jstep_bf16 = time_steps(pipe, state, vae_params,
+                                                batch_data, args.steps,
+                                                jnp.bfloat16)
     print(f"# bf16: {dt_bf16*1e3:.1f} ms/step  loss={loss_bf16:.4f}", flush=True)
+
+    # Training MFU for the bf16 arm: XLA cost-analysis FLOPs of the full
+    # step (fwd+bwd+optimizer) / measured time / v5e bf16 peak — same
+    # method as bench.py's sampling MFU. (No MFU for the f32 arm: its
+    # matmuls don't run at the bf16 peak, so the ratio would be apples to
+    # oranges.)
+    flops = step_flops(jstep_bf16, state, vae_params, batch_data)
+    peak = 197e12  # v5e bf16 peak FLOP/s
+    mfu_bf16 = flops / dt_bf16 / peak if flops else None
 
     print(json.dumps({
         "metric": "chest train step f32 vs bf16 (B=%d, incl VAE encode)" % args.batch,
@@ -101,6 +126,8 @@ def main():
         "bf16_ms": round(dt_bf16 * 1e3, 2),
         "speedup": round(dt_f32 / dt_bf16, 4),
         "samples_per_sec_bf16": round(args.batch / dt_bf16, 2),
+        "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+        "train_mfu_bf16": round(mfu_bf16, 4) if mfu_bf16 else None,
     }))
 
 

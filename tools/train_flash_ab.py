@@ -64,8 +64,9 @@ def build(batch):
     return pipe, state, vae_params, batch_data
 
 
-def time_steps(pipe, state, vae_params, batch_data, n_steps):
-    step = make_diffusion_train_step(pipe, donate=False)
+def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype=None):
+    step = make_diffusion_train_step(pipe, donate=False,
+                                     compute_dtype=compute_dtype)
     jstep = jax.jit(step)
     # warm (compile)
     s, m = jstep(state, vae_params, batch_data,
@@ -87,20 +88,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run BOTH arms in mixed-precision bf16 (composes "
+                         "the two measured optimizations; the flash kernel "
+                         "then sees bf16 q/k/v)")
     args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.bf16 else None
+    prec = "bf16" if args.bf16 else "fp32"
 
     pipe, state, vae_params, batch_data = build(args.batch)
 
     ops.enable_flash_attention(False)
-    dt_xla, loss_xla = time_steps(pipe, state, vae_params, batch_data, args.steps)
+    dt_xla, loss_xla = time_steps(pipe, state, vae_params, batch_data,
+                                  args.steps, dtype)
     print(f"# xla:   {dt_xla*1e3:.1f} ms/step  loss={loss_xla:.4f}", flush=True)
 
     ops.enable_flash_attention(True)
-    dt_flash, loss_flash = time_steps(pipe, state, vae_params, batch_data, args.steps)
+    dt_flash, loss_flash = time_steps(pipe, state, vae_params, batch_data,
+                                      args.steps, dtype)
     print(f"# flash: {dt_flash*1e3:.1f} ms/step  loss={loss_flash:.4f}", flush=True)
 
     print(json.dumps({
-        "metric": "chest spatial-attention train step (B=%d, fp32, incl VAE encode)" % args.batch,
+        "metric": "chest spatial-attention train step (B=%d, %s, incl VAE encode)"
+                  % (args.batch, prec),
         "xla_ms": round(dt_xla * 1e3, 2),
         "flash_ms": round(dt_flash * 1e3, 2),
         "speedup": round(dt_xla / dt_flash, 4),
