@@ -231,7 +231,9 @@ def inpaint(args):
     mask = np.ones((1, lh, lw, 1), np.float32)  # 1 = keep
     mask[:, y0:y1, x0:x1, :] = 0.0  # 0 = generate
     out = pipe.sample_inpaint(params, k_loop, z, jnp.asarray(mask),
-                              steps=args.steps, use_ddim=True, eta=1.0)
+                              steps=args.steps, use_ddim=True, eta=1.0,
+                              resample_steps=args.resample_steps,
+                              jump_length=args.jump_length)
     ih, iw = x.shape[1], x.shape[2]
     img_mask = np.ones((ih, iw, 1), np.float32)
     img_mask[int(fy0 * ih):int(fy1 * ih), int(fx0 * iw):int(fx1 * iw)] = 0.0
@@ -274,6 +276,12 @@ def main(argv=None):
                            help="dataset index of the image to inpaint")
             s.add_argument("--box", default="0.25,0.25,0.75,0.75",
                            help="fractional x0,y0,x1,y1 region to REGENERATE")
+            s.add_argument("--resample-steps", type=int, default=1,
+                           help="RePaint resamplings per jump point "
+                                "(arXiv:2201.09865; paper uses 10)")
+            s.add_argument("--jump-length", type=int, default=1,
+                           help="RePaint jump length in grid steps "
+                                "(paper uses 10)")
     args = ap.parse_args(argv)
     if args.cmd == "export-gif" and args.out == "results/helpers":
         args.out = "results/helpers/trajectory.gif"

@@ -153,12 +153,19 @@ class GaussianDiffusionSchedule:
           T-1 and spaces the rest evenly from the end — the recommended grid
           for zero-terminal-SNR schedules.
         """
+        return jnp.asarray(self.ddim_timesteps_host(steps, spacing), dtype=jnp.int32)
+
+    def ddim_timesteps_host(self, steps: int, spacing: str = "linspace") -> np.ndarray:
+        """Host (numpy) version of :meth:`ddim_timesteps` — the grid is a
+        static function of ``(T, steps, spacing)``; callers that build static
+        schedules from it (e.g. the RePaint op walk) need it concrete even
+        when the pipeline is traced under ``jit``."""
         if spacing == "linspace":
             vals = np.linspace(0.0, float(self.T - 1), steps)
-            return jnp.asarray(vals.astype(np.int64), dtype=jnp.int32)
+            return vals.astype(np.int64).astype(np.int32)
         if spacing == "trailing":
             vals = np.round(np.arange(self.T, 0, -self.T / steps)).astype(np.int64) - 1
-            return jnp.asarray(vals[::-1].copy(), dtype=jnp.int32)
+            return vals[::-1].copy().astype(np.int32)
         raise ValueError(f"unknown timestep spacing {spacing!r}")
 
 

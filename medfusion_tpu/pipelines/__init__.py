@@ -3,4 +3,5 @@
 from medfusion_tpu.pipelines.diffusion import (  # noqa: F401
     DiffusionPipeline,
     make_classifier_grad,
+    repaint_op_schedule,
 )

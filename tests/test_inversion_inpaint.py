@@ -162,6 +162,92 @@ def test_inpaint_real_unet_smoke():
     np.testing.assert_allclose(out[m], np.asarray(known)[m], atol=1e-6)
 
 
+def test_repaint_op_schedule_structure():
+    """The op walk (arXiv:2201.09865 Alg. 2): starts at position 0, ends at
+    n (clean), consecutive ops chain and move exactly one grid level, and
+    the op counts match the closed form — n + 2*j*(r-1)*#jump_points total
+    (each jump point replays j reverse steps and j forward steps, r-1
+    times)."""
+    from medfusion_tpu.pipelines.diffusion import repaint_op_schedule
+
+    for n, j, r in [(10, 2, 3), (12, 4, 2), (7, 3, 4), (5, 1, 1), (6, 10, 5)]:
+        ops = repaint_op_schedule(n, j, r)
+        assert ops[0][0] == 0 and ops[-1][1] == n
+        for (f1, t1), (f2, _) in zip(ops, ops[1:]):
+            assert t1 == f2  # the walk chains
+        assert all(abs(t - f) == 1 for f, t in ops)
+        n_jump_points = len(range(j, n, j))
+        n_fwd = sum(1 for f, t in ops if t < f)
+        assert n_fwd == j * (r - 1) * n_jump_points
+        assert len(ops) - n_fwd == n + j * (r - 1) * n_jump_points
+    with pytest.raises(ValueError, match="must be >= 1"):
+        repaint_op_schedule(10, 0, 2)
+
+
+@pytest.mark.parametrize("eta", [0.0, 1.0])
+def test_inpaint_resampling_keeps_known_and_converges(eta):
+    """Full RePaint resampling (resample_steps=3, jump_length=2): the
+    mask==1 region is still composited exactly, the generated region is
+    still pulled to the oracle's x_0, everything finite."""
+    sched = _sched(T=40)
+    rng = np.random.default_rng(5)
+    x_target = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 8, 8, 1)).astype(np.float32))
+    x_known = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 8, 8, 1)).astype(np.float32))
+    mask = np.zeros((1, 8, 8, 1), np.float32)
+    mask[:, :4, :, :] = 1.0  # top half kept
+    mask = jnp.asarray(mask)
+    pipe = DiffusionPipeline(scheduler=sched,
+                             noise_estimator=_OracleEps(sched, x_target),
+                             latent_embedder=None, do_input_centering=False,
+                             clip_x0=False)
+    params = {"noise_estimator": {}}
+    out = pipe.sample_inpaint(params, jax.random.PRNGKey(6), x_known, mask,
+                              steps=20, use_ddim=True, eta=eta, decode=False,
+                              resample_steps=3, jump_length=2)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(out[m], np.asarray(x_known)[m], atol=1e-6)
+    if eta == 0.0:
+        np.testing.assert_allclose(out[~m], np.asarray(x_target)[~m], atol=0.05)
+
+
+def test_inpaint_resampling_real_unet_smoke():
+    """Resampling through a real UNet (self-cond carry rides through the
+    lax.cond ops) — finite, exact known composite."""
+    sched = _sched(T=20)
+    unet = UNet(in_ch=1, out_ch=1, spatial_dims=2, hid_chs=(8, 16),
+                kernel_sizes=(3, 3), strides=(1, 2), num_res_blocks=1,
+                use_attention=("none", "none"), time_emb_dim=16,
+                deep_supervision=0,
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}))
+    key = jax.random.PRNGKey(0)
+    known = jax.random.uniform(key, (2, 8, 8, 1), minval=-0.5, maxval=0.5)
+    params = {"noise_estimator": unet.init(
+        key, known, jnp.zeros((2,), jnp.int32), None)["params"]}
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             latent_embedder=None, do_input_centering=False)
+    mask = jnp.asarray(np.eye(8, dtype=np.float32)[None, :, :, None])
+    out = pipe.sample_inpaint(params, jax.random.PRNGKey(1), known, mask,
+                              steps=6, use_ddim=True, eta=1.0, decode=False,
+                              resample_steps=2, jump_length=3)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    m = np.broadcast_to(np.asarray(mask), out.shape).astype(bool)
+    np.testing.assert_allclose(out[m], np.asarray(known)[m], atol=1e-6)
+
+
+def test_resampling_requires_known_mask():
+    sched = _sched(T=10)
+    pipe = DiffusionPipeline(scheduler=sched,
+                             noise_estimator=_OracleEps(sched, jnp.zeros((1, 4, 4, 1))),
+                             latent_embedder=None)
+    x = jnp.zeros((1, 4, 4, 1))
+    with pytest.raises(ValueError, match="requires"):
+        pipe.denoise({"noise_estimator": {}}, x, jax.random.PRNGKey(0),
+                     steps=2, resample_steps=2)
+
+
 def test_inpaint_requires_both_known_and_mask():
     sched = _sched(T=10)
     pipe = DiffusionPipeline(scheduler=sched,
