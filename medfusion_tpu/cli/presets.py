@@ -103,9 +103,24 @@ def build_vae(p: Preset, kind: str = "vae"):
 def build_unet(p: Preset, estimator: str = "unet"):
     """Noise estimator by family: 'unet' (reference unet2), 'unet_legacy'
     (reference estimators/unet.py), 'openai' (the SD/ADM UNet, reference
-    external/stable_diffusion/unet_openai.py), or 'lucidrains' (the compact
-    DDPM UNet, reference external/unet_lucidrains.py — no label cond)."""
+    external/stable_diffusion/unet_openai.py), 'lucidrains' (the compact
+    DDPM UNet, reference external/unet_lucidrains.py — no label cond), or
+    'dit' (Diffusion Transformer, arXiv:2212.09748 — beyond the
+    reference; pure-matmul/MXU architecture, flash-attention-accelerated
+    in training AND sampling)."""
     n = len(p.unet_hid_chs)
+    if estimator == "dit":
+        from medfusion_tpu.models.dit import DiT
+
+        # hidden sized off the preset's top width, floored to a multiple of
+        # 4 heads x 4 (sin-cos table needs hidden % 4 == 0)
+        hidden = max(64, (p.unet_hid_chs[-1] // 16) * 16)
+        return DiT(
+            in_ch=p.emb_channels, patch_size=2, hidden_size=hidden,
+            depth=max(2, len(p.unet_hid_chs) * 3),
+            num_heads=max(4, hidden // 64),
+            cond_emb_num_classes=p.num_classes,
+        )
     if estimator == "openai":
         from medfusion_tpu.models.unet_openai import UNetOpenAI
 

@@ -41,7 +41,7 @@ def main(argv=None):
     ap.add_argument("--encoder-key-every", type=int, default=1,
                     help=">1 enables the encoder-propagation fast sampler (approximate)")
     ap.add_argument("--estimator", default="unet",
-                    choices=("unet", "unet_legacy", "openai", "lucidrains"),
+                    choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"),
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")

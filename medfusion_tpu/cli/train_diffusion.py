@@ -90,7 +90,7 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing on the UNet stages")
     ap.add_argument("--estimator", default="unet",
-                    choices=("unet", "unet_legacy", "openai", "lucidrains"),
+                    choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"),
                     help="noise-estimator family (openai = SD/ADM UNet; "
                          "lucidrains = compact DDPM UNet, unconditional)")
     ap.add_argument("--grain", action="store_true",

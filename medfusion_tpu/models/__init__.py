@@ -19,6 +19,7 @@ from medfusion_tpu.models.latent_embedders_diffusers import (  # noqa: F401
     VQModelDiffusers,
     convert_diffusers_vae_state_dict,
 )
+from medfusion_tpu.models.dit import DiT  # noqa: F401
 from medfusion_tpu.models.unet import UNet  # noqa: F401
 from medfusion_tpu.models.unet_diffusers import (  # noqa: F401
     UNet2DConditionDiffusers,

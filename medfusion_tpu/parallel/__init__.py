@@ -10,6 +10,11 @@ from medfusion_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from medfusion_tpu.parallel.moe import (  # noqa: F401
+    MoEMLP,
+    moe_aux_loss,
+    moe_partition_spec,
+)
 from medfusion_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_apply,
     pipeline_partition_spec,
