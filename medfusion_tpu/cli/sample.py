@@ -76,9 +76,15 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")
-    ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
+    ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
-                         "25-50 steps (beyond-reference, arXiv:2211.01095)")
+                         "25-50 steps (beyond-reference, arXiv:2211.01095); "
+                         "edm = Karras 2nd-order Heun on the Karras sigma "
+                         "grid (beyond-reference, arXiv:2206.00364)")
+    ap.add_argument("--edm-churn", type=float, default=0.0,
+                    help="EDM S_churn: >0 adds stochastic churn (Alg. 2)")
+    ap.add_argument("--edm-rho", type=float, default=7.0,
+                    help="EDM sigma-grid warp exponent (paper default 7)")
     ap.add_argument("--classifier-ckpt", default=None,
                     help="noisy-latent classifier run dir (cli/train_classifier) "
                          "for classifier-guided sampling (arXiv:2105.05233)")
@@ -139,7 +145,18 @@ def main(argv=None):
                     jnp.full((args.n,), cond_val, jnp.int32)),
                 classifier_scale=args.classifier_scale)
         spacing = dict(timestep_spacing=args.timestep_spacing)
-        if args.sampler == "dpmpp":
+        if args.sampler == "edm":
+            if guided:
+                ap.error("--classifier-ckpt guidance is not wired into the "
+                         "EDM sampler (fractional-t queries); use ddim/dpmpp")
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
+            imgs = pipe.denoise_edm(
+                params, x_T, rng=k2 if args.edm_churn > 0 else None,
+                condition=cond, steps=steps, guidance_scale=gs,
+                s_churn=args.edm_churn, rho=args.edm_rho,
+                guidance_rescale=args.guidance_rescale)
+        elif args.sampler == "dpmpp":
             k1, _ = jax.random.split(rng)
             x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
             imgs = pipe.denoise_dpmpp(params, x_T, condition=cond, steps=steps,

@@ -45,8 +45,13 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")
-    ap.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
-                    help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 steps")
+    ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm"], default="ddim",
+                    help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 "
+                         "steps; edm = Karras Heun (arXiv:2206.00364)")
+    ap.add_argument("--edm-churn", type=float, default=0.0,
+                    help="EDM S_churn (>0 adds stochastic churn)")
+    ap.add_argument("--edm-rho", type=float, default=7.0,
+                    help="EDM sigma-grid warp exponent (paper default 7)")
     ap.add_argument("--classifier-ckpt", default=None,
                     help="noisy-latent classifier run dir: classifier-guided "
                          "bulk generation (label doubles as guidance target)")
@@ -72,6 +77,9 @@ def main(argv=None):
     if args.classifier_ckpt and args.encoder_key_every > 1:
         ap.error("--classifier-ckpt guidance is not wired into the "
                  "encoder-propagation fast sampler; drop --encoder-key-every")
+    if args.classifier_ckpt and args.sampler == "edm":
+        ap.error("--classifier-ckpt guidance is not wired into the EDM "
+                 "sampler (fractional-t queries); use ddim/dpmpp")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
@@ -97,7 +105,9 @@ def main(argv=None):
                                        classifier_apply=classifier_apply,
                                        classifier_scale=args.classifier_scale,
                                        guidance_rescale=args.guidance_rescale,
-                                       timestep_spacing=args.timestep_spacing)
+                                       timestep_spacing=args.timestep_spacing,
+                                       edm_churn=args.edm_churn,
+                                       edm_rho=args.edm_rho)
         for label in labels:
             out_dir = Path(args.out) / f"steps_{steps}" / f"label_{label}"
             out_dir.mkdir(parents=True, exist_ok=True)

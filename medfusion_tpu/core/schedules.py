@@ -458,6 +458,42 @@ def min_snr_weight(
     return clamped  # x_0
 
 
+def kdiff_sigmas(sched: GaussianDiffusionSchedule) -> jnp.ndarray:
+    """Per-timestep k-diffusion noise levels sigma_t = sqrt((1-abar_t)/abar_t)
+    ([T], ascending in t). This is the change of variables that maps the VP
+    forward process x_t = sqrt(abar) x_0 + sqrt(1-abar) eps onto the
+    EDM/k-diffusion parameterization x = x_0 + sigma eps with
+    x = x_vp / sqrt(abar_t) (Karras et al., arXiv:2206.00364 §B/Table 1;
+    beyond the reference, which ships DDPM/DDIM only)."""
+    ab = sched.alphas_cumprod
+    return jnp.sqrt((1.0 - ab) / ab)
+
+
+def karras_sigma_grid(
+    sigma_min, sigma_max, n: int, rho: float = 7.0
+) -> jnp.ndarray:
+    """Karras sampling grid (arXiv:2206.00364 eq. 5): ``n`` noise levels
+    descending from sigma_max to sigma_min, evenly spaced in sigma^(1/rho)
+    (rho=7 concentrates steps near sigma_min where the ODE curves most),
+    with the terminal 0 appended — length ``n + 1``."""
+    ramp = jnp.linspace(0.0, 1.0, n)
+    inv_rho = 1.0 / rho
+    sig = (sigma_max**inv_rho + ramp * (sigma_min**inv_rho - sigma_max**inv_rho)) ** rho
+    return jnp.concatenate([sig, jnp.zeros((1,), sig.dtype)])
+
+
+def sigma_to_t_frac(sched: GaussianDiffusionSchedule, sigma) -> jnp.ndarray:
+    """Continuous (fractional) timestep for a k-diffusion sigma, by linear
+    interpolation of log-sigma over the schedule's own table (the
+    k-diffusion ``DiscreteSchedule.sigma_to_t`` convention). The sinusoidal
+    time embedding is a smooth function of t, so fractional t is exactly the
+    right query for a discretely-trained model evaluated off-grid."""
+    log_tab = jnp.log(kdiff_sigmas(sched))
+    t = jnp.interp(jnp.log(jnp.clip(sigma, 1e-20)), log_tab,
+                   jnp.arange(sched.T, dtype=jnp.float32))
+    return t
+
+
 def kl_gaussians(mean1, logvar1, mean2, logvar2):
     """Closed-form KL(N1||N2) per element (utils/math_utils.py:3-5)."""
     return 0.5 * (

@@ -28,11 +28,13 @@ def make_sharded_sampler(
     eta: float = 1.0,
     decode: bool = True,
     encoder_key_every: int = 1,
-    sampler: str = "ddim",  # 'ddim' | 'dpmpp' (DPM-Solver++(2M))
+    sampler: str = "ddim",  # 'ddim' | 'dpmpp' | 'edm' (Karras Heun)
     classifier_apply=None,
     classifier_scale: float = 0.0,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "linspace",
+    edm_churn: float = 0.0,
+    edm_rho: float = 7.0,
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
@@ -66,6 +68,17 @@ def make_sharded_sampler(
                 raise ValueError("classifier guidance needs `condition` (the "
                                  "per-sample guidance labels)")
             classifier_grad = make_classifier_grad(classifier_apply, condition)
+        if sampler == "edm":
+            if classifier_apply is not None:
+                raise ValueError("classifier guidance is not wired into the "
+                                 "EDM sampler (fractional-t queries)")
+            return pipeline.denoise_edm(
+                params, x_T, rng=k_loop if edm_churn > 0 else None,
+                condition=condition, steps=steps,
+                guidance_scale=guidance_scale, un_cond=un_cond, decode=decode,
+                s_churn=edm_churn, rho=edm_rho,
+                guidance_rescale=guidance_rescale,
+            )
         if sampler == "dpmpp":
             return pipeline.denoise_dpmpp(
                 params, x_T, condition=condition, steps=steps,

@@ -167,6 +167,25 @@ def test_sharded_bulk_sampler_dpmpp_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_bulk_sampler_edm_matches_unsharded():
+    """EDM (Karras Heun) through the batch-sharded bulk path: sharded output
+    == the unsharded pipeline result (churn off -> deterministic, exact)."""
+    pipe, params, _ = _setup(8)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sampler = make_sharded_sampler(pipe, mesh, (8, 8, 1), steps=5,
+                                   guidance_scale=1.0, decode=False,
+                                   sampler="edm")
+    p = {"noise_estimator": jax.device_put(params, replicated(mesh))}
+    out = sampler(p, jax.random.PRNGKey(4), 16)
+    assert out.shape == (16, 8, 8, 1)
+    assert len(out.sharding.device_set) == 8
+
+    k_init, _ = jax.random.split(jax.random.PRNGKey(4))
+    x_T = jax.random.normal(k_init, (16, 8, 8, 1))
+    ref = pipe.denoise_edm({"noise_estimator": params}, x_T, steps=5, decode=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_ring_attention_matches_full_attention():
     """Sequence-parallel ring attention (tokens sharded over 8 devices,
     K/V rotated via ppermute with online-softmax merging) is EXACT full
