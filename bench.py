@@ -94,10 +94,10 @@ def build(preset="chest", attention="none"):
     return pipe, params
 
 
-def flops_per_sample(pipe, params, preset="chest"):
-    """One UNet forward x STEPS + one decode, from XLA cost analysis (compiled
-    on local CPU — FLOP counts are backend-independent and this avoids extra
-    remote-compile round trips)."""
+def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
+    """One UNet forward x ``nfe`` + one decode, from XLA cost analysis
+    (compiled on local CPU — FLOP counts are backend-independent and this
+    avoids extra remote-compile round trips)."""
     def flops_of(f, *args):
         try:
             cpu = jax.devices("cpu")[0]
@@ -113,18 +113,25 @@ def flops_per_sample(pipe, params, preset="chest"):
         params, z1, t1, t1,
     )
     decode_flops = flops_of(lambda p, z: pipe.decode_latent(p, z), params, z1)
-    return unet_flops * STEPS + decode_flops
+    return unet_flops * nfe + decode_flops
 
 
-def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none"):
+def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
+              sampler="ddim", steps=STEPS):
     cond = jnp.zeros((batch,), jnp.int32)
     lat = PRESETS[preset]["latent"]
 
     def run(params, rng):
-        out = pipe.sample(
-            params, rng, batch, lat, condition=cond,
-            steps=STEPS, use_ddim=True, guidance_scale=1.0, eta=1.0,
-        )
+        if sampler == "edm":
+            k_init, _ = jax.random.split(rng)
+            x_T = jax.random.normal(k_init, (batch, *lat))
+            out = pipe.denoise_edm(params, x_T, condition=cond, steps=steps,
+                                   guidance_scale=1.0)
+        else:
+            out = pipe.sample(
+                params, rng, batch, lat, condition=cond,
+                steps=steps, use_ddim=True, guidance_scale=1.0, eta=1.0,
+            )
         # Scalar checksum: forces the full computation while keeping the
         # host transfer at 4 bytes (the axon tunnel's bulk fetch would
         # otherwise dominate the timing).
@@ -144,8 +151,10 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none"):
     vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
     img = PRESETS[preset]["image"]
     lat_s = f"{lat[-1]}x{lat[0]}x{lat[1]}"
+    sampler_s = (f"{steps}-step DDIM" if sampler == "ddim"
+                 else f"{steps}-step EDM Heun ({2 * steps - 1} NFE)")
     return {
-        "metric": f"{img}x{img} samples/sec/chip (150-step DDIM, {preset} latent {lat_s}, bf16)",
+        "metric": f"{img}x{img} samples/sec/chip ({sampler_s}, {preset} latent {lat_s}, bf16)",
         "attention": attention_label,
         "value": round(samples_per_sec, 4),
         "unit": "samples/s",
@@ -178,6 +187,11 @@ def main():
                          "program, 1024-token softmax at the top level)")
     ap.add_argument("--flash", action="store_true",
                     help="route attention through the Pallas flash kernel")
+    ap.add_argument("--sampler", choices=["ddim", "edm"], default="ddim",
+                    help="opt-in EDM (Karras Heun) measurement; the driver "
+                         "headline is 150-step DDIM")
+    ap.add_argument("--steps", type=int, default=STEPS,
+                    help="sampler step count (headline protocol: 150)")
     args = ap.parse_args()
     if args.flash and args.attention == "none":
         ap.error("--flash has no effect without attention layers; "
@@ -186,7 +200,8 @@ def main():
     pipe, params = build(args.preset, args.attention)
     # FLOP counting runs on the XLA path (same math); the Pallas switch is
     # flipped afterwards and read at trace time by compute_attention.
-    fps = flops_per_sample(pipe, params, args.preset)
+    nfe = (2 * args.steps - 1) if args.sampler == "edm" else args.steps
+    fps = flops_per_sample(pipe, params, args.preset, nfe=nfe)
     if args.flash:
         import medfusion_tpu.ops as ops
 
@@ -195,12 +210,14 @@ def main():
     if args.sweep:
         results = []
         for b in (32, 64, 128):
-            r = run_bench(pipe, params, b, fps, args.preset, _attn_label(args))
+            r = run_bench(pipe, params, b, fps, args.preset, _attn_label(args),
+                          args.sampler, args.steps)
             print(f"# batch {b}: {r['value']} samples/s  mfu={r['mfu']}", flush=True)
             results.append(r)
         best = max(results, key=lambda r: r["value"])
     else:
-        best = run_bench(pipe, params, args.batch, fps, args.preset, _attn_label(args))
+        best = run_bench(pipe, params, args.batch, fps, args.preset,
+                         _attn_label(args), args.sampler, args.steps)
     print(json.dumps(best))
 
 
