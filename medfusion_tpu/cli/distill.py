@@ -1,0 +1,165 @@
+"""Progressive distillation driver (arXiv:2202.00512) — BEYOND the reference.
+
+Loads a trained diffusion checkpoint (``cli/train_diffusion`` run dir) as the
+teacher and distills a chain of students, halving the sampling step count
+each stage (N -> N/2 -> ... -> 1). Each stage's student initializes from its
+teacher, trains with the truncated-SNR x-space loss
+(:mod:`medfusion_tpu.train.distillation`), then becomes the next teacher.
+
+The distilled N-step student samples with the stock sampler:
+``cli/sample --steps N --timestep-spacing trailing`` (the student training
+grid IS the trailing DDIM grid — see ``student_sample_timesteps``).
+
+Usage:
+  python -m medfusion_tpu.cli.distill --preset chest \\
+      --teacher-ckpt runs/diffusion/checkpoints --vae-ckpt runs/ae/checkpoints \\
+      --objective v --start-steps 16 --iters-per-stage 10000 [--out runs/distill]
+  python -m medfusion_tpu.cli.distill --preset smoke --start-steps 4 \\
+      --stages 1 --iters-per-stage 4   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medfusion_tpu.cli.presets import (
+    PRESETS,
+    build_dataset,
+    build_scheduler,
+    build_unet,
+    build_vae,
+)
+from medfusion_tpu.cli.train_diffusion import load_vae_params
+from medfusion_tpu.data import SimpleDataModule
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+from medfusion_tpu.train import TrainState
+from medfusion_tpu.train.distillation import (
+    make_distillation_train_step,
+    next_stage_steps,
+)
+from medfusion_tpu.utils import checkpoint as C
+from medfusion_tpu.utils.logging import MetricsWriter
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--teacher-ckpt", default=None,
+                    help="train_diffusion run checkpoints dir (random init "
+                         "when omitted — smoke/testing only)")
+    ap.add_argument("--vae-ckpt", default=None)
+    ap.add_argument("--out", default="runs/distill")
+    ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="v",
+                    help="teacher parameterization; the paper recommends v "
+                         "(eps degenerates at few steps, arXiv:2202.00512 §4)")
+    ap.add_argument("--start-steps", type=int, default=16,
+                    help="first student's sampling step count N")
+    ap.add_argument("--stages", type=int, default=0,
+                    help="number of halvings (0 = keep halving down to 1 step)")
+    ap.add_argument("--iters-per-stage", type=int, default=10000)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: the preset diffusion LR")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--latent-scale", type=float, default=1.0)
+    ap.add_argument("--latent-shift", type=float, default=0.0)
+    ap.add_argument("--estimator", default="unet",
+                    choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"))
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    p = PRESETS[args.preset]
+    batch_size = args.batch_size or p.diffusion_batch_size
+    out = Path(args.out)
+    key = jax.random.PRNGKey(args.seed)
+
+    vae = build_vae(p)
+    unet = build_unet(p, args.estimator)
+    sched = build_scheduler(p)
+    pipe = DiffusionPipeline(
+        scheduler=sched, noise_estimator=unet, latent_embedder=vae,
+        estimator_objective=args.objective,
+        classifier_free_guidance_dropout=0.0,
+        do_input_centering=False, clip_x0=False,
+        latent_scale=args.latent_scale, latent_shift=args.latent_shift,
+    )
+    vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
+
+    h, w, c = p.latent_shape
+    z0 = np.zeros((batch_size, h, w, c), np.float32)
+    t0 = np.zeros((batch_size,), np.int32)
+    teacher = unet.init(key, z0, t0, t0 if p.num_classes else None)["params"]
+    if args.teacher_ckpt:
+        template = TrainState.create(teacher, optax.adamw(1e-4))
+        teacher = C.restore_checkpoint(Path(args.teacher_ckpt), template).params
+        print(f"teacher restored from {args.teacher_ckpt}")
+
+    # frozen-VAE encode into the diffusion working space, once per batch,
+    # OUTSIDE the distillation graph (the teacher already costs 2 forwards)
+    @jax.jit
+    def encode(x, rng):
+        return pipe.encode_latent({"latent_embedder": vae_params}, x, rng)
+
+    ds = build_dataset(p, args.data_root, n_synthetic=max(batch_size * 4, 16),
+                       seed=args.seed)
+    dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed,
+                          weights=ds.get_weights())
+
+    n = args.start_steps
+    stage_idx = 0
+    lr = args.lr or p.diffusion_lr
+    while n is not None:
+        stage_dir = out / f"stage_{n}steps"
+        writer = MetricsWriter(stage_dir / "logs")
+        step_fn = make_distillation_train_step(
+            pipe, student_steps=n, donate=False,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        state = TrainState.create(teacher, optax.adamw(lr))
+        print(f"--- stage {stage_idx}: distilling to {n}-step student ---")
+        it, epoch, t0s = 0, 0, time.time()
+        while it < args.iters_per_stage:
+            for batch in dm.train_dataloader(epoch=epoch):
+                k = jax.random.fold_in(jax.random.fold_in(key, stage_idx), it)
+                k_enc, k_step = jax.random.split(k)
+                src = encode(jax.device_put(batch["source"]), k_enc)
+                dev = {"source": src}
+                if "target" in batch and p.num_classes:
+                    dev["target"] = jax.device_put(batch["target"].astype(np.int32))
+                state, metrics = step_fn(state, teacher, dev, k_step)
+                it += 1
+                if it % 50 == 0 or it == 1:
+                    writer.log_scalars(it, metrics)
+                    print(f"stage {n}-step it {it} loss "
+                          f"{float(metrics['loss']):.5f} "
+                          f"({time.time() - t0s:.1f}s)")
+                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
+                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
+                                      config=dataclasses.asdict(p), keep_top_k=2)
+                if it >= args.iters_per_stage:
+                    break
+            epoch += 1
+        writer.close()
+        teacher = state.params  # student becomes the next teacher
+        print(f"stage done -> {stage_dir}/checkpoints  "
+              f"(sample: --steps {n} --timestep-spacing trailing --objective "
+              f"{args.objective})")
+        stage_idx += 1
+        if args.stages and stage_idx >= args.stages:
+            break
+        n = next_stage_steps(n)
+    print(f"distillation complete: {stage_idx} stage(s) -> {out}")
+
+
+if __name__ == "__main__":
+    main()

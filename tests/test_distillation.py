@@ -1,0 +1,175 @@
+"""Progressive distillation (arXiv:2202.00512): grid identity, oracle target
+algebra, self-distillation fixed point, and an end-to-end learning run."""
+
+import numpy as np
+import pytest
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from medfusion_tpu.core import schedules as S
+from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+from medfusion_tpu.models.unet import UNet
+from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+from medfusion_tpu.train import TrainState
+from medfusion_tpu.train.distillation import (
+    distillation_targets,
+    make_distillation_loss,
+    make_distillation_train_step,
+    next_stage_steps,
+    student_sample_timesteps,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _sched(T=100):
+    return GaussianDiffusionSchedule.create(
+        timesteps=T, schedule_strategy="scaled_linear",
+        beta_start=0.002, beta_end=0.02)
+
+
+def test_student_grid_is_the_trailing_ddim_grid():
+    """The training grid t_i = round(i*T/N)-1 must equal the sampler's
+    'trailing' spacing — that identity is what lets a distilled student
+    sample via denoise(..., timestep_spacing='trailing') unchanged."""
+    for T, N in ((1000, 4), (1000, 1), (1000, 8), (50, 4), (100, 25)):
+        sched = GaussianDiffusionSchedule.create(timesteps=T)
+        np.testing.assert_array_equal(
+            np.asarray(student_sample_timesteps(sched, N)),
+            sched.ddim_timesteps_host(N, spacing="trailing"),
+            err_msg=f"T={T} N={N}")
+
+
+def test_next_stage_steps():
+    assert next_stage_steps(8) == 4
+    assert next_stage_steps(3) == 1
+    assert next_stage_steps(1) is None
+
+
+class _OracleX0(nn.Module):
+    x0: tuple
+
+    @nn.compact
+    def __call__(self, x_t, t=None, condition=None, self_cond=None,
+                 cond_mask=None, train=False):
+        x0 = jnp.asarray(np.asarray(self.x0, np.float32))[None, :, :, None]
+        return jnp.broadcast_to(x0, x_t.shape), []
+
+
+def _oracle_pipe(T=100):
+    rng = np.random.default_rng(3)
+    x0 = rng.uniform(-0.9, 0.9, (1, 4, 4, 1)).astype(np.float32)
+    est = _OracleX0(x0=tuple(map(tuple, x0[0, :, :, 0].tolist())))
+    pipe = DiffusionPipeline(scheduler=_sched(T), noise_estimator=est,
+                             estimator_objective="x_0", clip_x0=False,
+                             do_input_centering=False)
+    return pipe, x0
+
+
+def test_oracle_teacher_target_is_true_x0():
+    """With an exact teacher the two half-steps stay on the closed
+    trajectory z = alpha x0 + sigma eps, and the eq. 9 solve returns the
+    true x0 exactly — for every student level including i=1 (t_end = -1)."""
+    pipe, x0 = _oracle_pipe()
+    b = 8
+    rng = np.random.default_rng(0)
+    x0_b = jnp.broadcast_to(jnp.asarray(x0), (b, 4, 4, 1))
+    noise = jnp.asarray(rng.standard_normal((b, 4, 4, 1)).astype(np.float32))
+    for N in (4, 10, 50):
+        i = jnp.asarray(rng.integers(1, N + 1, (b,)), jnp.int32)
+        z_t, t, x_tilde, w = distillation_targets(
+            pipe, {"noise_estimator": {}}, x0_b, i, noise, N)
+        np.testing.assert_allclose(np.asarray(x_tilde), np.asarray(x0_b),
+                                   atol=1e-4, err_msg=f"N={N}")
+        assert np.all(np.asarray(w) >= 1.0)
+
+
+def test_self_distillation_loss_is_zero():
+    """student == teacher == oracle: the student's x-prediction equals the
+    target, so the distillation loss is ~0 (the fixed point)."""
+    pipe, x0 = _oracle_pipe()
+    loss_fn = make_distillation_loss(pipe, student_steps=10)
+    batch = {"source": jnp.broadcast_to(jnp.asarray(x0), (4, 4, 4, 1))}
+    loss, metrics = loss_fn({}, {}, batch, jax.random.PRNGKey(1))
+    assert float(loss) < 1e-6
+    assert float(metrics["x_mse"]) < 1e-8
+
+
+def test_distillation_loss_contracts():
+    pipe, _ = _oracle_pipe(T=100)
+    with pytest.raises(ValueError, match="student_steps"):
+        make_distillation_loss(pipe, student_steps=51)  # > T//2
+    import dataclasses
+    with pytest.raises(ValueError, match="self-conditioning"):
+        make_distillation_loss(
+            dataclasses.replace(pipe, use_self_conditioning=True), 4)
+    with pytest.raises(ValueError, match="learned-variance"):
+        make_distillation_loss(
+            dataclasses.replace(pipe, estimate_variance=True), 4)
+
+
+def test_distill_cli_smoke(tmp_path):
+    """Two stages (4 -> 2 steps), 3 iters each, random teacher, smoke preset:
+    the full CLI driver runs and writes per-stage checkpoints."""
+    from medfusion_tpu.cli import distill
+
+    out = tmp_path / "distill"
+    distill.main(["--preset", "smoke", "--start-steps", "4", "--stages", "2",
+                  "--iters-per-stage", "3", "--ckpt-every", "3",
+                  "--out", str(out), "--batch-size", "4"])
+    assert (out / "stage_4steps" / "checkpoints").exists()
+    assert (out / "stage_2steps" / "checkpoints").exists()
+
+
+@pytest.mark.slow
+def test_progressive_distillation_learns_fewer_step_sampling():
+    """End-to-end: distill a (random-weight) v-objective teacher into a
+    4-step student over T=50. After training, the student's 4-step trailing
+    DDIM output must be closer to the teacher's 8-step output than the
+    undistilled baseline (the teacher itself run at 4 steps)."""
+    T = 50
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(16, 32), kernel_sizes=(3, 3),
+                strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 8, "affine": True}),
+                deep_supervision=0, time_emb_dim=32)
+    sched = _sched(T)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             estimator_objective="v", clip_x0=False,
+                             do_input_centering=False)
+    raw = unet.init(KEY, jnp.zeros((2, 16, 16, 1)), jnp.zeros((2,), jnp.int32))["params"]
+    rng = np.random.default_rng(1)
+    leaves, treedef = jax.tree_util.tree_flatten(raw)
+    teacher = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.standard_normal(l.shape).astype(np.float32) * 0.05)
+                  for l in leaves])
+
+    # toy data: class-free blobs
+    data = jnp.asarray(rng.uniform(-1, 1, (32, 16, 16, 1)).astype(np.float32))
+
+    N = 4
+    step = make_distillation_train_step(pipe, student_steps=N, donate=False)
+    state = TrainState.create(teacher, optax.adamw(1e-3))
+    losses = []
+    for it in range(300):
+        idx = np.random.default_rng(it).choice(32, 8, replace=False)
+        state, metrics = step(state, teacher, {"source": data[idx]},
+                              jax.random.fold_in(KEY, it))
+        losses.append(float(metrics["loss"]))
+    early, late = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert late < 0.5 * early, f"no distillation learning: {early:.4f} -> {late:.4f}"
+
+    # sampling comparison from shared noise
+    x_T = jnp.asarray(rng.standard_normal((8, 16, 16, 1)).astype(np.float32))
+    kw = dict(use_ddim=True, eta=0.0, timestep_spacing="trailing", decode=False)
+    teacher_tree = {"noise_estimator": teacher}
+    student_tree = {"noise_estimator": state.params}
+    ref8 = pipe.denoise(teacher_tree, x_T, jax.random.PRNGKey(9), steps=2 * N, **kw)
+    base4 = pipe.denoise(teacher_tree, x_T, jax.random.PRNGKey(9), steps=N, **kw)
+    stud4 = pipe.denoise(student_tree, x_T, jax.random.PRNGKey(9), steps=N, **kw)
+    err_base = float(jnp.linalg.norm(base4 - ref8))
+    err_stud = float(jnp.linalg.norm(stud4 - ref8))
+    assert np.isfinite(err_stud)
+    assert err_stud < err_base, (
+        f"distilled 4-step error {err_stud:.4f} !< undistilled {err_base:.4f}")
