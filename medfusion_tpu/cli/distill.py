@@ -67,6 +67,12 @@ def main(argv=None):
     ap.add_argument("--stages", type=int, default=0,
                     help="number of halvings (0 = keep halving down to 1 step)")
     ap.add_argument("--iters-per-stage", type=int, default=10000)
+    ap.add_argument("--teacher-guidance", type=float, default=1.0,
+                    help="fixed-weight guided distillation "
+                         "(arXiv:2210.03142): the teacher rollout uses the "
+                         "CFG-combined prediction at this scale (negative = "
+                         "1-label for 2-class presets, reference "
+                         "convention); sample the student with guidance 1")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None,
                     help="default: the preset diffusion LR")
@@ -122,9 +128,14 @@ def main(argv=None):
     while n is not None:
         stage_dir = out / f"stage_{n}steps"
         writer = MetricsWriter(stage_dir / "logs")
+        # guided distillation applies to the FIRST stage only: later
+        # teachers are students that already absorbed the guidance
+        # (arXiv:2210.03142 two-stage recipe)
+        tg = args.teacher_guidance if stage_idx == 0 else 1.0
         step_fn = make_distillation_train_step(
             pipe, student_steps=n, donate=False,
-            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            teacher_guidance_scale=tg)
         state = TrainState.create(teacher, optax.adamw(lr))
         print(f"--- stage {stage_idx}: distilling to {n}-step student ---")
         it, epoch, t0s = 0, 0, time.time()
@@ -135,7 +146,10 @@ def main(argv=None):
                 src = encode(jax.device_put(batch["source"]), k_enc)
                 dev = {"source": src}
                 if "target" in batch and p.num_classes:
-                    dev["target"] = jax.device_put(batch["target"].astype(np.int32))
+                    tgt = batch["target"].astype(np.int32)
+                    dev["target"] = jax.device_put(tgt)
+                    if args.teacher_guidance != 1.0 and p.num_classes == 2:
+                        dev["un_cond"] = jax.device_put(1 - tgt)  # ref :35
                 state, metrics = step_fn(state, teacher, dev, k_step)
                 it += 1
                 if it % 50 == 0 or it == 1:

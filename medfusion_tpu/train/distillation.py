@@ -53,14 +53,24 @@ def _alpha_sigma(sched, t, ndim):
     return jnp.where(neg, 1.0, a), jnp.where(neg, 0.0, s)
 
 
-def _x0_eps(pipeline: DiffusionPipeline, params_tree, z, t, condition):
+def _x0_eps(pipeline: DiffusionPipeline, params_tree, z, t, condition,
+            guidance_scale: float = 1.0, un_cond=None):
     """One estimator forward -> (x0, eps), unclipped (clipping breaks the
-    algebra of the distillation target)."""
-    b = z.shape[0]
-    cond_mask = None if condition is None else jnp.ones((b,), z.dtype)
-    pred, _ = pipeline._apply_estimator(params_tree, z, t, condition, None, cond_mask)
-    if pipeline.estimate_variance:
-        pred, _ = jnp.split(pred, 2, axis=-1)
+    algebra of the distillation target). ``guidance_scale != 1`` runs the
+    batched-CFG combined prediction — the guided-distillation teacher
+    (Meng et al., arXiv:2210.03142, at a FIXED guidance weight: the student
+    absorbs the two-forward CFG teacher into one conditional forward)."""
+    if guidance_scale != 1.0 and condition is not None:
+        pred = pipeline._guided_pred(params_tree, z, t, condition, None,
+                                     guidance_scale, un_cond)
+        if pipeline.estimate_variance:
+            pred, _ = jnp.split(pred, 2, axis=-1)
+    else:
+        b = z.shape[0]
+        cond_mask = None if condition is None else jnp.ones((b,), z.dtype)
+        pred, _ = pipeline._apply_estimator(params_tree, z, t, condition, None, cond_mask)
+        if pipeline.estimate_variance:
+            pred, _ = jnp.split(pred, 2, axis=-1)
     sched = pipeline.scheduler
     if pipeline.estimator_objective == "x_T":
         x0 = S.estimate_x_0(sched, z, pred, t, clip=False)
@@ -74,10 +84,12 @@ def _x0_eps(pipeline: DiffusionPipeline, params_tree, z, t, condition):
     return x0, eps
 
 
-def _ddim_to(pipeline, params_tree, z, t_from, t_to, condition):
+def _ddim_to(pipeline, params_tree, z, t_from, t_to, condition,
+             guidance_scale: float = 1.0, un_cond=None):
     """One deterministic DDIM (eta=0) transition evaluated at t_from:
     z_to = alpha_to x0 + sigma_to eps."""
-    x0, eps = _x0_eps(pipeline, params_tree, z, t_from, condition)
+    x0, eps = _x0_eps(pipeline, params_tree, z, t_from, condition,
+                      guidance_scale, un_cond)
     a_to, s_to = _alpha_sigma(pipeline.scheduler, t_to, z.ndim)
     return a_to * x0 + s_to * eps
 
@@ -103,17 +115,24 @@ def distillation_targets(
     noise: jnp.ndarray,
     student_steps: int,
     condition=None,
+    teacher_guidance_scale: float = 1.0,
+    un_cond=None,
 ):
     """(z_t, t, x_tilde, w) for one batch: noise to the student level, run
     the teacher two half-steps, solve for the one-step x-target (paper
-    eq. 9) and the truncated-SNR weight."""
+    eq. 9) and the truncated-SNR weight. ``teacher_guidance_scale != 1``
+    makes the teacher the CFG-combined prediction (guided distillation at a
+    fixed weight, arXiv:2210.03142): the student then does with ONE forward
+    what the guided teacher needs 2 (CFG) x 2 (steps) for."""
     sched = pipeline.scheduler
     grid = student_timestep_grid(sched.T, student_steps)
     t, t_mid, t_end = grid(i.astype(jnp.float32))
 
     z_t = S.q_sample(sched, x_0, t, noise)
-    z_mid = _ddim_to(pipeline, teacher_params_tree, z_t, t, t_mid, condition)
-    z_end = _ddim_to(pipeline, teacher_params_tree, z_mid, t_mid, t_end, condition)
+    z_mid = _ddim_to(pipeline, teacher_params_tree, z_t, t, t_mid, condition,
+                     teacher_guidance_scale, un_cond)
+    z_end = _ddim_to(pipeline, teacher_params_tree, z_mid, t_mid, t_end, condition,
+                     teacher_guidance_scale, un_cond)
 
     a_t, s_t = _alpha_sigma(sched, t, x_0.ndim)
     a_e, s_e = _alpha_sigma(sched, t_end, x_0.ndim)
@@ -126,12 +145,19 @@ def distillation_targets(
 def make_distillation_loss(
     pipeline: DiffusionPipeline,
     student_steps: int,
+    teacher_guidance_scale: float = 1.0,
 ) -> Callable:
     """Returns ``loss_fn(student_est_params, teacher_est_params, batch, rng)
     -> (loss, metrics)``. ``batch['source']`` is a LATENT (or pixel) x_0 in
     the diffusion working space — encode + center upstream; this keeps the
     frozen-VAE encode out of the distillation graph, where the teacher
-    already costs two forwards."""
+    already costs two forwards.
+
+    ``teacher_guidance_scale``: fixed-weight guided distillation
+    (arXiv:2210.03142) — the teacher rollout uses the CFG-combined
+    prediction (``batch['un_cond']`` optionally supplies the negative
+    labels, reference convention 1-label); the student learns the GUIDED
+    map, so guided sampling of the student needs guidance_scale=1."""
     sched = pipeline.scheduler
     if not (1 <= student_steps <= sched.T // 2):
         raise ValueError(
@@ -152,7 +178,8 @@ def make_distillation_loss(
 
         teacher_tree = {"noise_estimator": jax.lax.stop_gradient(teacher_params)}
         z_t, t, x_tilde, w = distillation_targets(
-            pipeline, teacher_tree, x_0, i, noise, student_steps, condition)
+            pipeline, teacher_tree, x_0, i, noise, student_steps, condition,
+            teacher_guidance_scale, batch.get("un_cond"))
         x_tilde = jax.lax.stop_gradient(x_tilde)
 
         student_tree = {"noise_estimator": student_params}
@@ -173,6 +200,7 @@ def make_distillation_train_step(
     student_steps: int,
     donate: bool = False,
     compute_dtype=None,
+    teacher_guidance_scale: float = 1.0,
 ) -> Callable:
     """Returns ``step_fn(state, teacher_params, batch, rng) ->
     (state, metrics)`` — same shape as ``make_diffusion_train_step`` with the
@@ -181,7 +209,8 @@ def make_distillation_train_step(
     master weights (same recipe as the diffusion step)."""
     if compute_dtype is not None:
         pipeline = dataclasses.replace(pipeline, compute_dtype=compute_dtype)
-    base_loss = make_distillation_loss(pipeline, student_steps)
+    base_loss = make_distillation_loss(pipeline, student_steps,
+                                       teacher_guidance_scale)
 
     def loss_fn(student_params, teacher_params, batch, rng):
         if compute_dtype is not None:

@@ -110,6 +110,52 @@ def test_distillation_loss_contracts():
             dataclasses.replace(pipe, estimate_variance=True), 4)
 
 
+def test_guided_distillation_oracle_and_effect():
+    """Guided distillation (fixed-w CFG teacher, arXiv:2210.03142):
+    (a) with a condition-blind oracle teacher the CFG combine is a no-op and
+    the target stays the true x0 (plumbing check through the batched-CFG
+    path); (b) on a conditional random-weight net, guidance != 1 must
+    actually change the targets."""
+    pipe, x0 = _oracle_pipe()
+    b = 6
+    rng = np.random.default_rng(2)
+    x0_b = jnp.broadcast_to(jnp.asarray(x0), (b, 4, 4, 1))
+    noise = jnp.asarray(rng.standard_normal((b, 4, 4, 1)).astype(np.float32))
+    i = jnp.asarray(rng.integers(1, 11, (b,)), jnp.int32)
+    cond = jnp.asarray(rng.integers(0, 2, (b,)), jnp.int32)
+    _, _, x_tilde, _ = distillation_targets(
+        pipe, {"noise_estimator": {}}, x0_b, i, noise, 10, cond,
+        teacher_guidance_scale=4.0, un_cond=1 - cond)
+    np.testing.assert_allclose(np.asarray(x_tilde), np.asarray(x0_b), atol=1e-4)
+
+    # (b) conditional net: guidance changes the target
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3),
+                strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+                deep_supervision=0, cond_emb_num_classes=2)
+    sched = _sched(50)
+    cpipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                              estimator_objective="v", clip_x0=False,
+                              do_input_centering=False)
+    raw = unet.init(KEY, jnp.zeros((2, 8, 8, 1)), jnp.zeros((2,), jnp.int32),
+                    jnp.zeros((2,), jnp.int32))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(raw)
+    teacher = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.standard_normal(l.shape).astype(np.float32) * 0.1)
+                  for l in leaves])
+    xb = jnp.asarray(rng.uniform(-1, 1, (b, 8, 8, 1)).astype(np.float32))
+    nb = jnp.asarray(rng.standard_normal((b, 8, 8, 1)).astype(np.float32))
+    ib = jnp.asarray(rng.integers(1, 5, (b,)), jnp.int32)
+    cb = jnp.asarray(rng.integers(0, 2, (b,)), jnp.int32)
+    tt = {"noise_estimator": teacher}
+    _, _, tgt1, _ = distillation_targets(cpipe, tt, xb, ib, nb, 4, cb)
+    _, _, tgt4, _ = distillation_targets(cpipe, tt, xb, ib, nb, 4, cb,
+                                         teacher_guidance_scale=4.0,
+                                         un_cond=1 - cb)
+    assert np.all(np.isfinite(np.asarray(tgt4)))
+    assert float(jnp.max(jnp.abs(tgt1 - tgt4))) > 1e-5
+
+
 def test_distill_cli_smoke(tmp_path):
     """Two stages (4 -> 2 steps), 3 iters each, random teacher, smoke preset:
     the full CLI driver runs and writes per-stage checkpoints."""
@@ -118,7 +164,8 @@ def test_distill_cli_smoke(tmp_path):
     out = tmp_path / "distill"
     distill.main(["--preset", "smoke", "--start-steps", "4", "--stages", "2",
                   "--iters-per-stage", "3", "--ckpt-every", "3",
-                  "--out", str(out), "--batch-size", "4"])
+                  "--out", str(out), "--batch-size", "4",
+                  "--teacher-guidance", "4.0"])
     assert (out / "stage_4steps" / "checkpoints").exists()
     assert (out / "stage_2steps" / "checkpoints").exists()
 
