@@ -67,6 +67,18 @@ def main(argv=None):
     ap.add_argument("--stages", type=int, default=0,
                     help="number of halvings (0 = keep halving down to 1 step)")
     ap.add_argument("--iters-per-stage", type=int, default=10000)
+    ap.add_argument("--method", choices=("pd", "cd"), default="pd",
+                    help="pd = progressive distillation (stage-halving, "
+                         "arXiv:2202.00512); cd = consistency distillation "
+                         "(single run -> 1-step generator, arXiv:2303.01469)")
+    ap.add_argument("--cd-grid", type=int, default=18,
+                    help="CD sigma-grid discretization N (paper Alg. 2)")
+    ap.add_argument("--cd-sigma-data", type=float, default=0.5)
+    ap.add_argument("--cd-huber", type=float, default=None,
+                    help="pseudo-Huber c (arXiv:2310.14189; None = L2)")
+    ap.add_argument("--cd-ema", action="store_true",
+                    help="EMA target network (paper Alg. 2; default uses the "
+                         "stop-gradient student, arXiv:2310.14189)")
     ap.add_argument("--teacher-guidance", type=float, default=1.0,
                     help="fixed-weight guided distillation "
                          "(arXiv:2210.03142): the teacher rollout uses the "
@@ -122,9 +134,49 @@ def main(argv=None):
     dm = SimpleDataModule(ds, batch_size=batch_size, seed=args.seed,
                           weights=ds.get_weights())
 
+    lr = args.lr or p.diffusion_lr
+    if args.method == "cd":
+        from medfusion_tpu.train.consistency import make_consistency_train_step
+
+        stage_dir = out / "consistency"
+        writer = MetricsWriter(stage_dir / "logs")
+        step_fn = make_consistency_train_step(
+            pipe, n_grid=args.cd_grid, sigma_data=args.cd_sigma_data,
+            huber_c=args.cd_huber,
+            teacher_guidance_scale=args.teacher_guidance,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
+        it, epoch, t0s = 0, 0, time.time()
+        while it < args.iters_per_stage:
+            for batch in dm.train_dataloader(epoch=epoch):
+                k = jax.random.fold_in(key, it)
+                k_enc, k_step = jax.random.split(k)
+                src = encode(jax.device_put(batch["source"]), k_enc)
+                dev = {"source": src}
+                if "target" in batch and p.num_classes:
+                    tgt = batch["target"].astype(np.int32)
+                    dev["target"] = jax.device_put(tgt)
+                    if args.teacher_guidance != 1.0 and p.num_classes == 2:
+                        dev["un_cond"] = jax.device_put(1 - tgt)
+                state, metrics = step_fn(state, teacher, dev, k_step)
+                it += 1
+                if it % 50 == 0 or it == 1:
+                    writer.log_scalars(it, metrics)
+                    print(f"cd it {it} loss {float(metrics['loss']):.5f} "
+                          f"({time.time() - t0s:.1f}s)")
+                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
+                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
+                                      config=dataclasses.asdict(p), keep_top_k=2)
+                if it >= args.iters_per_stage:
+                    break
+            epoch += 1
+        writer.close()
+        print(f"consistency distillation done -> {stage_dir}/checkpoints  "
+              f"(sample: train.consistency.consistency_sample, 1-4 steps)")
+        return
+
     n = args.start_steps
     stage_idx = 0
-    lr = args.lr or p.diffusion_lr
     while n is not None:
         stage_dir = out / f"stage_{n}steps"
         writer = MetricsWriter(stage_dir / "logs")

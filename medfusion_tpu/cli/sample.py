@@ -76,11 +76,18 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")
-    ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm"], default="ddim",
+    ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm", "consistency"],
+                    default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
                          "25-50 steps (beyond-reference, arXiv:2211.01095); "
                          "edm = Karras 2nd-order Heun on the Karras sigma "
-                         "grid (beyond-reference, arXiv:2206.00364)")
+                         "grid (beyond-reference, arXiv:2206.00364); "
+                         "consistency = 1/few-step consistency model "
+                         "(checkpoint from cli.distill --method cd, "
+                         "arXiv:2303.01469) — --steps means f/renoise "
+                         "alternations (1-4)")
+    ap.add_argument("--cd-sigma-data", type=float, default=0.5,
+                    help="sigma_data the consistency model was trained with")
     ap.add_argument("--edm-churn", type=float, default=0.0,
                     help="EDM S_churn: >0 adds stochastic churn (Alg. 2)")
     ap.add_argument("--edm-rho", type=float, default=7.0,
@@ -145,7 +152,18 @@ def main(argv=None):
                     jnp.full((args.n,), cond_val, jnp.int32)),
                 classifier_scale=args.classifier_scale)
         spacing = dict(timestep_spacing=args.timestep_spacing)
-        if args.sampler == "edm":
+        if args.sampler == "consistency":
+            if guided:
+                ap.error("--classifier-ckpt guidance is not wired into "
+                         "consistency sampling; use ddim/dpmpp")
+            from medfusion_tpu.train.consistency import consistency_sample
+
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, (args.n, *p.latent_shape))
+            imgs = consistency_sample(
+                pipe, params, x_T, rng=k2, steps=min(args.steps, 8),
+                condition=cond, sigma_data=args.cd_sigma_data)
+        elif args.sampler == "edm":
             if guided:
                 ap.error("--classifier-ckpt guidance is not wired into the "
                          "EDM sampler (fractional-t queries); use ddim/dpmpp")
