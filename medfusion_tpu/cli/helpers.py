@@ -245,11 +245,40 @@ def inpaint(args):
           f"[{y0}:{y1},{x0}:{x1}] of {lh}x{lw})")
 
 
+def img2img(args):
+    """SDEdit-style edit of a dataset image (arXiv:2108.01073, see
+    ``DiffusionPipeline.img2img``; beyond the reference): noise the input
+    ``--strength`` of the way along the forward path, regenerate the rest
+    of the reverse scan (optionally steered to ``--label``). Saves
+    [original | edited] side by side."""
+    import jax
+
+    from medfusion_tpu.cli.sample import load_pipeline
+
+    p = PRESETS[args.preset]
+    pipe, params = load_pipeline(args, p)
+    ds = build_dataset(p, args.data_root, n_synthetic=max(args.i1 + 1, 4),
+                       seed=args.seed)
+    x = jnp.asarray(ds[args.i1 % len(ds)]["source"])[None]
+    cond = None
+    if args.label is not None and p.num_classes:
+        cond = jnp.asarray([args.label], jnp.int32)
+    out = pipe.img2img(params, jax.random.PRNGKey(args.seed), x,
+                       strength=args.strength, condition=cond,
+                       steps=args.steps, use_ddim=True, eta=0.0,
+                       guidance_scale=args.guidance_scale)
+    rows = [np.asarray(x)[0], np.asarray(out)[0]]
+    out_dir = Path(args.out)
+    save_image_grid(np.stack(rows), out_dir / "img2img.png", nrow=2)
+    print(f"wrote {out_dir}/img2img.png (strength {args.strength}, "
+          f"{args.steps} steps)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("latent-stats", "extract-vae", "export-gif", "export-images",
-                 "interpolate", "inpaint"):
+                 "interpolate", "inpaint", "img2img"):
         s = sub.add_parser(name)
         s.add_argument("--preset", choices=sorted(PRESETS), default="smoke")
         s.add_argument("--data-root", default=None)
@@ -271,6 +300,15 @@ def main(argv=None):
                            help="interpolate in DDIM-inverted noise space "
                                 "(slerp) instead of stochastic q_sample "
                                 "noising — faithful endpoints")
+        if name == "img2img":
+            s.add_argument("--i1", type=int, default=0,
+                           help="dataset index of the image to edit")
+            s.add_argument("--strength", type=float, default=0.6,
+                           help="fraction of the forward path to renoise to "
+                                "(1 = full resample, ->0 = return the input)")
+            s.add_argument("--label", type=int, default=None,
+                           help="steer the edit toward this class")
+            s.add_argument("--guidance-scale", type=float, default=1.0)
         if name == "inpaint":
             s.add_argument("--i1", type=int, default=0,
                            help="dataset index of the image to inpaint")
@@ -287,7 +325,8 @@ def main(argv=None):
         args.out = "results/helpers/trajectory.gif"
     {"latent-stats": latent_stats, "extract-vae": extract_vae,
      "export-gif": export_gif, "export-images": export_images,
-     "interpolate": interpolate, "inpaint": inpaint}[args.cmd](args)
+     "interpolate": interpolate, "inpaint": inpaint,
+     "img2img": img2img}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -31,13 +31,23 @@ def load_pipeline(args, p):
     key = jax.random.PRNGKey(args.seed)
     vae = build_vae(p)
     unet = build_unet(p, getattr(args, "estimator", "unet"))
-    pipe = DiffusionPipeline(scheduler=build_scheduler(
-                                 p, zero_terminal_snr=getattr(args, "zero_terminal_snr", False)),
-                             noise_estimator=unet,
-                             latent_embedder=vae, do_input_centering=False, clip_x0=False,
-                             estimator_objective=getattr(args, "objective", "x_T"),
-                             latent_scale=getattr(args, "latent_scale", 1.0),
-                             latent_shift=getattr(args, "latent_shift", 0.0))
+    if getattr(args, "family", "diffusion") == "flow":
+        from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+
+        pipe = FlowMatchingPipeline(
+            noise_estimator=unet, latent_embedder=vae,
+            do_input_centering=False,
+            shift=getattr(args, "flow_shift", 1.0),
+            latent_scale=getattr(args, "latent_scale", 1.0),
+            latent_shift=getattr(args, "latent_shift", 0.0))
+    else:
+        pipe = DiffusionPipeline(scheduler=build_scheduler(
+                                     p, zero_terminal_snr=getattr(args, "zero_terminal_snr", False)),
+                                 noise_estimator=unet,
+                                 latent_embedder=vae, do_input_centering=False, clip_x0=False,
+                                 estimator_objective=getattr(args, "objective", "x_T"),
+                                 latent_scale=getattr(args, "latent_scale", 1.0),
+                                 latent_shift=getattr(args, "latent_shift", 0.0))
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
     h, w, c = p.latent_shape
     z0 = np.zeros((1, h, w, c), np.float32)
@@ -76,6 +86,15 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")
+    ap.add_argument("--family", choices=("diffusion", "flow"),
+                    default="diffusion",
+                    help="flow = rectified-flow / flow-matching checkpoint "
+                         "(cli.train_diffusion --family flow; beyond-"
+                         "reference, arXiv:2210.02747/2403.03206) — sampled "
+                         "with the Heun probability-flow ODE")
+    ap.add_argument("--flow-shift", type=float, default=1.0,
+                    help="SD3 resolution shift of the flow sampling grid "
+                         "(arXiv:2403.03206 eq. 23; 1 = uniform)")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm", "consistency"],
                     default="ddim",
                     help="dpmpp = DPM-Solver++(2M), comparable quality at "
@@ -124,6 +143,14 @@ def main(argv=None):
         ap.error("--guidance-rescale is not wired into the encoder-"
                  "propagation fast sampler; drop --encoder-key-every")
 
+    if args.family == "flow":
+        if args.sampler != "ddim":
+            ap.error("--family flow has its own ODE sampler; drop --sampler")
+        if args.classifier_ckpt:
+            ap.error("classifier guidance is not wired into the flow family")
+        if args.encoder_key_every > 1:
+            ap.error("--encoder-key-every is a diffusion-family fast path")
+
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
 
@@ -152,7 +179,11 @@ def main(argv=None):
                     jnp.full((args.n,), cond_val, jnp.int32)),
                 classifier_scale=args.classifier_scale)
         spacing = dict(timestep_spacing=args.timestep_spacing)
-        if args.sampler == "consistency":
+        if args.family == "flow":
+            imgs = pipe.sample(params, rng, args.n, p.latent_shape,
+                               condition=cond, steps=steps, guidance_scale=gs,
+                               shift=args.flow_shift)
+        elif args.sampler == "consistency":
             if guided:
                 ap.error("--classifier-ckpt guidance is not wired into "
                          "consistency sampling; use ddim/dpmpp")

@@ -45,6 +45,14 @@ def main(argv=None):
                     help="noise-estimator family the checkpoint was trained with")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"), default="x_T",
                     help="parameterization the checkpoint was trained with")
+    ap.add_argument("--family", choices=("diffusion", "flow"),
+                    default="diffusion",
+                    help="flow = rectified-flow checkpoint "
+                         "(cli.train_diffusion --family flow); bulk-sampled "
+                         "with the Heun probability-flow ODE")
+    ap.add_argument("--flow-shift", type=float, default=1.0,
+                    help="SD3 resolution shift of the flow grid "
+                         "(arXiv:2403.03206 eq. 23; 1 = uniform)")
     ap.add_argument("--sampler", choices=["ddim", "dpmpp", "edm"], default="ddim",
                     help="dpmpp = DPM-Solver++(2M): comparable quality at 25-50 "
                          "steps; edm = Karras Heun (arXiv:2206.00364)")
@@ -80,6 +88,16 @@ def main(argv=None):
     if args.classifier_ckpt and args.sampler == "edm":
         ap.error("--classifier-ckpt guidance is not wired into the EDM "
                  "sampler (fractional-t queries); use ddim/dpmpp")
+    if args.family == "flow":
+        if args.sampler != "ddim":
+            ap.error("--family flow has its own ODE sampler; drop --sampler")
+        if args.classifier_ckpt:
+            ap.error("classifier guidance is not wired into the flow family")
+        if args.encoder_key_every > 1:
+            ap.error("--encoder-key-every is a diffusion-family fast path")
+        if args.zero_terminal_snr or args.guidance_rescale > 0:
+            ap.error("--zero-terminal-snr/--guidance-rescale are diffusion-"
+                     "schedule options; the flow family has no schedule")
 
     p = PRESETS[args.preset]
     pipe, params = load_pipeline(args, p)
@@ -97,11 +115,14 @@ def main(argv=None):
 
     labels = list(range(p.num_classes)) if p.num_classes else [None]
     for steps in args.steps_list:
-        steps = min(steps, p.timesteps)
+        if args.family != "flow":  # ODE step count is schedule-free
+            steps = min(steps, p.timesteps)
         sampler = make_sharded_sampler(pipe, mesh, p.latent_shape, steps=steps,
                                        use_ddim=True, guidance_scale=args.guidance,
                                        encoder_key_every=args.encoder_key_every,
-                                       sampler=args.sampler,
+                                       sampler=("flow" if args.family == "flow"
+                                                else args.sampler),
+                                       flow_shift=args.flow_shift,
                                        classifier_apply=classifier_apply,
                                        classifier_scale=args.classifier_scale,
                                        guidance_rescale=args.guidance_rescale,

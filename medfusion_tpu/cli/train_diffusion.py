@@ -66,6 +66,21 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--sample-every", type=int, default=0, help="0 = off")
     ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--family", choices=("diffusion", "flow"),
+                    default="diffusion",
+                    help="flow = rectified-flow / flow-matching training "
+                         "(beyond-reference, arXiv:2210.02747/2403.03206): "
+                         "same estimator/VAE/CLI surface, scheduler-free "
+                         "continuous-time objective, sampled with the Heun "
+                         "probability-flow ODE (cli.sample --family flow)")
+    ap.add_argument("--flow-shift", type=float, default=1.0,
+                    help="SD3 timestep shift (arXiv:2403.03206 eq. 23), "
+                         "applied to the training time draw and the "
+                         "default sampling grid (flow family only)")
+    ap.add_argument("--time-sampling", choices=("uniform", "logit_normal"),
+                    default="logit_normal",
+                    help="flow-family training time distribution (SD3 "
+                         "default logit_normal m=0 s=1)")
     ap.add_argument("--objective", choices=("x_T", "x_0", "v"),
                     default="x_T",
                     help="estimator parameterization: eps (reference "
@@ -131,16 +146,31 @@ def _train(args, resume: bool):
     unet = build_unet(p, args.estimator)
     if args.remat and hasattr(unet, "remat"):
         unet = unet.replace(remat=True)
-    sched = build_scheduler(p, zero_terminal_snr=args.zero_terminal_snr)
-    pipe = DiffusionPipeline(
-        scheduler=sched, noise_estimator=unet, latent_embedder=vae,
-        estimator_objective=args.objective, estimate_variance=False,
-        use_self_conditioning=False,
-        classifier_free_guidance_dropout=p.cfg_dropout,
-        do_input_centering=False, clip_x0=False, loss="l1",
-        min_snr_gamma=args.min_snr_gamma,
-        latent_scale=args.latent_scale, latent_shift=args.latent_shift,
-    )
+    if args.family == "flow":
+        if args.zero_terminal_snr or args.min_snr_gamma is not None:
+            raise SystemExit("--zero-terminal-snr/--min-snr-gamma are "
+                             "diffusion-schedule options; the flow family "
+                             "has no schedule")
+        from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+
+        pipe = FlowMatchingPipeline(
+            noise_estimator=unet, latent_embedder=vae,
+            classifier_free_guidance_dropout=p.cfg_dropout,
+            do_input_centering=False,
+            timestep_sampling=args.time_sampling, shift=args.flow_shift,
+            latent_scale=args.latent_scale, latent_shift=args.latent_shift,
+        )
+    else:
+        sched = build_scheduler(p, zero_terminal_snr=args.zero_terminal_snr)
+        pipe = DiffusionPipeline(
+            scheduler=sched, noise_estimator=unet, latent_embedder=vae,
+            estimator_objective=args.objective, estimate_variance=False,
+            use_self_conditioning=False,
+            classifier_free_guidance_dropout=p.cfg_dropout,
+            do_input_centering=False, clip_x0=False, loss="l1",
+            min_snr_gamma=args.min_snr_gamma,
+            latent_scale=args.latent_scale, latent_shift=args.latent_shift,
+        )
 
     vae_params = load_vae_params(vae, p, args.vae_ckpt, key)
     h, w, c = p.latent_shape
@@ -201,9 +231,10 @@ def _train(args, resume: bool):
                           "latent_embedder": vae_params}
                 cond = (jax.numpy.arange(4, dtype=jax.numpy.int32) % p.num_classes
                         if p.num_classes else None)
+                sample_kw = (dict(steps=25) if args.family == "flow"
+                             else dict(steps=min(50, p.timesteps), use_ddim=True))
                 imgs = pipe.sample(params, jax.random.fold_in(jax.random.fold_in(key, 1_000_003), step), 4,
-                                   p.latent_shape, condition=cond,
-                                   steps=min(50, p.timesteps), use_ddim=True)
+                                   p.latent_shape, condition=cond, **sample_kw)
                 save_image_grid(np.asarray(imgs), out / "images" / f"sample_{step}.png")
             if step >= args.max_steps:
                 break

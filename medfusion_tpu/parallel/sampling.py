@@ -28,13 +28,15 @@ def make_sharded_sampler(
     eta: float = 1.0,
     decode: bool = True,
     encoder_key_every: int = 1,
-    sampler: str = "ddim",  # 'ddim' | 'dpmpp' | 'edm' (Karras Heun)
+    sampler: str = "ddim",  # 'ddim' | 'dpmpp' | 'edm' (Karras Heun) | 'flow'
     classifier_apply=None,
     classifier_scale: float = 0.0,
     guidance_rescale: float = 0.0,
     timestep_spacing: str = "linspace",
     edm_churn: float = 0.0,
     edm_rho: float = 7.0,
+    flow_shift: float = 1.0,
+    flow_heun: bool = True,
 ):
     """Returns ``sample_fn(params, rng, num_samples, condition, un_cond)`` jitted
     with params replicated and the sample batch sharded over the 'data' axis.
@@ -53,6 +55,11 @@ def make_sharded_sampler(
     if guidance_rescale > 0 and encoder_key_every > 1:
         raise ValueError("guidance_rescale is not wired into the "
                          "encoder-propagation fast sampler")
+    if sampler == "flow" and (classifier_apply is not None
+                              or encoder_key_every > 1 or guidance_rescale > 0):
+        raise ValueError("the flow-family ODE sampler supports CFG only "
+                         "(no classifier guidance / encoder-propagation / "
+                         "CFG rescale)")
 
     def _sample(params, rng, condition, un_cond, num_samples):
         k_init, k_loop = jax.random.split(rng)
@@ -68,6 +75,15 @@ def make_sharded_sampler(
                 raise ValueError("classifier guidance needs `condition` (the "
                                  "per-sample guidance labels)")
             classifier_grad = make_classifier_grad(classifier_apply, condition)
+        if sampler == "flow":
+            # rectified-flow probability-flow ODE (pipelines/flow.py) — the
+            # pipeline here is a FlowMatchingPipeline, same batch-sharded
+            # program structure (one lax.scan over the grid)
+            return pipeline.denoise(
+                params, x_T, None, condition=condition, steps=steps,
+                guidance_scale=guidance_scale, un_cond=un_cond, decode=decode,
+                heun=flow_heun, shift=flow_shift,
+            )
         if sampler == "edm":
             if classifier_apply is not None:
                 raise ValueError("classifier guidance is not wired into the "

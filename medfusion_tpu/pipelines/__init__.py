@@ -5,3 +5,7 @@ from medfusion_tpu.pipelines.diffusion import (  # noqa: F401
     make_classifier_grad,
     repaint_op_schedule,
 )
+from medfusion_tpu.pipelines.flow import (  # noqa: F401
+    FlowMatchingPipeline,
+    shift_time,
+)

@@ -478,6 +478,7 @@ class DiffusionPipeline:
         mask=None,
         resample_steps: int = 1,
         jump_length: int = 1,
+        start_idx: int = 0,
     ):
         """Full reverse process as ONE ``lax.scan`` (replaces the reference's
         host loop, diffusion_pipeline.py:278-310). jit-safe; ``steps``,
@@ -506,7 +507,12 @@ class DiffusionPipeline:
         the op walk is static (:func:`repaint_op_schedule`), executed as one
         ``lax.scan`` whose body ``lax.cond``-dispatches between the reverse
         transition and the cheap forward renoise (no estimator forward on
-        renoise ops). ``resample_steps=1`` is the plain per-step projection."""
+        renoise ops). ``resample_steps=1`` is the plain per-step projection.
+
+        ``start_idx`` (static) skips the first ``start_idx`` entries of the
+        descending grid — the SDEdit img2img entry point
+        (:meth:`img2img` computes it from a strength and q-samples the input
+        to the matching level)."""
         if (known is None) != (mask is None):
             raise ValueError("inpainting needs BOTH known and mask (or neither)")
         if (resample_steps > 1 or jump_length > 1) and known is None:
@@ -521,12 +527,21 @@ class DiffusionPipeline:
             ts = sched.timesteps_array()[: (steps or sched.timesteps)]
             n = int(ts.shape[0])
 
+        if not (0 <= start_idx < n):
+            raise ValueError(f"start_idx must be in [0, {n}); got {start_idx}")
+        if start_idx and resample_steps > 1:
+            raise ValueError("start_idx (img2img) does not compose with the "
+                             "RePaint resampling op walk")
+
         b = x_t.shape[0]
         ts_rev = ts[::-1]
         # t_next[i] pairs with t[i] for the DDIM re-mix; the final step has none.
         ts_next = jnp.concatenate([ts_rev[1:], jnp.zeros((1,), ts.dtype)])
         has_next = jnp.arange(n) < n - 1
         keys = jax.random.split(rng, n)
+        if start_idx:
+            ts_rev, ts_next = ts_rev[start_idx:], ts_next[start_idx:]
+            has_next, keys = has_next[start_idx:], keys[start_idx:]
 
         init_self_cond = jnp.zeros_like(x_t)
 
@@ -978,6 +993,51 @@ class DiffusionPipeline:
         k_init, k_loop = jax.random.split(rng)
         x_T = jax.random.normal(k_init, (num_samples, *img_size))
         return self.denoise(params, x_T, k_loop, condition=condition, **kwargs)
+
+    def img2img(
+        self,
+        params,
+        rng,
+        image,
+        strength: float = 0.6,
+        condition=None,
+        steps: Optional[int] = None,
+        use_ddim: bool = True,
+        timestep_spacing: str = "linspace",
+        **kwargs,
+    ):
+        """SDEdit-style image-to-image (Meng et al., arXiv:2108.01073;
+        beyond the reference): encode ``image``, forward-diffuse it to the
+        grid level nearest ``strength`` (fraction of the full noising path),
+        and run the tail of the ordinary reverse scan from there — so
+        ``strength=1`` is a full :meth:`sample` and small strengths make
+        conservative edits. ``kwargs`` are forwarded to :meth:`denoise`
+        (guidance_scale, eta, decode, ...). ``image`` is a data-space
+        input (it is encoded and centered exactly like training)."""
+        if not (0.0 < strength <= 1.0):
+            raise ValueError("strength must be in (0, 1]")
+        sched = self.scheduler
+        if use_ddim:
+            n = sched.timesteps if steps is None else steps
+            grid_desc = sched.ddim_timesteps_host(n, spacing=timestep_spacing)[::-1]
+        else:
+            n = steps or sched.timesteps
+            grid_desc = np.asarray(sched.timesteps_array())[:n][::-1]
+        k = max(1, int(round(strength * n)))
+        start_idx = n - k
+        t_start = int(grid_desc[start_idx])
+
+        k_enc, k_noise, k_loop = jax.random.split(rng, 3)
+        x_0 = self.encode_latent(params, image, k_enc)
+        if self.do_input_centering:
+            x_0 = 2 * x_0 - 1
+        t_b = jnp.full(x_0.shape[:1], t_start, jnp.int32)
+        x_t = S.q_sample(sched, x_0, t_b,
+                         jax.random.normal(k_noise, x_0.shape, x_0.dtype))
+        return self.denoise(params, x_t, k_loop, condition=condition,
+                            steps=steps, use_ddim=use_ddim,
+                            timestep_spacing=timestep_spacing,
+                            start_idx=start_idx, **kwargs)
 
     def interpolate(
         self,

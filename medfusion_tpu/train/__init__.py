@@ -18,3 +18,4 @@ from medfusion_tpu.train.classifier import (  # noqa: F401
     ClassifierTrainer,
     make_classifier_train_step,
 )
+from medfusion_tpu.train.flow import make_flow_train_step  # noqa: F401

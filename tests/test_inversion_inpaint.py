@@ -276,3 +276,61 @@ def test_helpers_interpolate_ddim_invert_cli(tmp_path):
     helpers.main(["interpolate", "--preset", "smoke", "--n", "3",
                   "--steps", "4", "--ddim-invert", "--out", str(tmp_path)])
     assert (tmp_path / "interpolation.png").exists()
+
+
+# ---------------------------------------------------------------------------
+# img2img (SDEdit, arXiv:2108.01073 — beyond the reference)
+# ---------------------------------------------------------------------------
+
+def test_img2img_oracle_recovers_x0_at_any_strength():
+    """With an exact eps oracle and eta=0 DDIM, the reverse scan lands on the
+    oracle's x_0 from ANY starting level — pinning the start_idx grid
+    arithmetic (a one-off-grid bug would leave residual noise)."""
+    sched = _sched(T=100)
+    x_star = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 1)) * 0.3
+    pipe = DiffusionPipeline(scheduler=sched,
+                             noise_estimator=_OracleEps(sched, x_star),
+                             latent_embedder=None, do_input_centering=False,
+                             clip_x0=False)
+    params = {"noise_estimator": {}}
+    for strength in (0.25, 0.6, 1.0):
+        out = pipe.img2img(params, jax.random.PRNGKey(4), x_star,
+                           strength=strength, steps=20, use_ddim=True, eta=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
+                                   atol=1e-4, err_msg=f"strength={strength}")
+
+
+def test_img2img_strength_scales_deviation_untrained():
+    from medfusion_tpu.models.unet import UNet as _U
+
+    sched = _sched(T=50)
+    unet = _U(in_ch=1, out_ch=1, hid_chs=(8, 16), kernel_sizes=(3, 3),
+              strides=(1, 2), norm_name=("GROUP", {"num_groups": 4, "affine": True}),
+              cond_emb_num_classes=2, deep_supervision=0, time_emb_dim=16)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 1), minval=-1, maxval=1)
+    params = {"noise_estimator": unet.init(
+        jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32))["params"]}
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             do_input_centering=False, clip_x0=True)
+    near = pipe.img2img(params, jax.random.PRNGKey(2), x, strength=0.1,
+                        steps=10, eta=0.0)
+    far = pipe.img2img(params, jax.random.PRNGKey(2), x, strength=1.0,
+                       steps=10, eta=0.0)
+    d_near = float(jnp.mean(jnp.abs(near - x)))
+    d_far = float(jnp.mean(jnp.abs(far - x)))
+    assert d_near < d_far
+    with pytest.raises(ValueError):
+        pipe.img2img(params, jax.random.PRNGKey(2), x, strength=1.5)
+    with pytest.raises(ValueError, match="does not compose"):
+        pipe.denoise(params, x, jax.random.PRNGKey(0), steps=4, start_idx=1,
+                     known=x, mask=jnp.ones_like(x), resample_steps=2,
+                     jump_length=2)
+
+
+def test_helpers_img2img_cli(tmp_path):
+    from medfusion_tpu.cli import helpers
+
+    helpers.main(["img2img", "--preset", "smoke", "--steps", "4",
+                  "--strength", "0.5", "--out", str(tmp_path)])
+    assert (tmp_path / "img2img.png").exists()
