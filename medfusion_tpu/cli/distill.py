@@ -67,10 +67,29 @@ def main(argv=None):
     ap.add_argument("--stages", type=int, default=0,
                     help="number of halvings (0 = keep halving down to 1 step)")
     ap.add_argument("--iters-per-stage", type=int, default=10000)
-    ap.add_argument("--method", choices=("pd", "cd"), default="pd",
+    ap.add_argument("--method", choices=("pd", "cd", "reflow"), default="pd",
                     help="pd = progressive distillation (stage-halving, "
                          "arXiv:2202.00512); cd = consistency distillation "
-                         "(single run -> 1-step generator, arXiv:2303.01469)")
+                         "(single run -> 1-step generator, arXiv:2303.01469); "
+                         "reflow = rectified-flow straightening + 1-step "
+                         "distillation for --family flow checkpoints "
+                         "(arXiv:2209.03003 §3)")
+    ap.add_argument("--flow-shift", type=float, default=1.0,
+                    help="reflow: SD3 shift the flow teacher was trained "
+                         "with (arXiv:2403.03206 eq. 23)")
+    ap.add_argument("--reflow-teacher-steps", type=int, default=32,
+                    help="reflow: teacher ODE steps per generated pair")
+    ap.add_argument("--pair-batches", type=int, default=8,
+                    help="reflow: coupled-pair pool size in batches, "
+                         "generated up front and cycled")
+    ap.add_argument("--regen-every", type=int, default=0,
+                    help="reflow: regenerate the pair pool from the CURRENT "
+                         "student every N iters (0 = never; k-rectification "
+                         "within one run)")
+    ap.add_argument("--reflow-distill-iters", type=int, default=0,
+                    help="reflow: extra iterations of fixed-t=1 distillation "
+                         "after straightening (trains the one-Euler-step "
+                         "generator; sample with --family flow --steps 1)")
     ap.add_argument("--cd-grid", type=int, default=18,
                     help="CD sigma-grid discretization N (paper Alg. 2)")
     ap.add_argument("--cd-sigma-data", type=float, default=0.5)
@@ -104,6 +123,11 @@ def main(argv=None):
 
     vae = build_vae(p)
     unet = build_unet(p, args.estimator)
+    if args.method == "reflow":
+        if args.teacher_guidance != 1.0 and p.num_classes != 2:
+            ap.error("--teacher-guidance negative labels need a 2-class preset")
+        _reflow(args, p, unet, vae, out, key, batch_size)
+        return
     sched = build_scheduler(p)
     pipe = DiffusionPipeline(
         scheduler=sched, noise_estimator=unet, latent_embedder=vae,
@@ -225,6 +249,104 @@ def main(argv=None):
             break
         n = next_stage_steps(n)
     print(f"distillation complete: {stage_idx} stage(s) -> {out}")
+
+
+def _reflow(args, p, unet, vae, out, key, batch_size):
+    """Rectified-flow straightening (arXiv:2209.03003 §3) of a
+    ``--family flow`` teacher: generate a coupled-pair pool with the teacher
+    ODE, retrain on the straight paths, optionally finish with fixed-t=1
+    distillation into a one-Euler-step generator. The reflowed student
+    samples with the stock flow sampler at few steps
+    (``cli/sample --family flow --steps 1..4``)."""
+    from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+    from medfusion_tpu.train.reflow import (
+        generate_reflow_pairs,
+        make_reflow_train_step,
+    )
+
+    pipe = FlowMatchingPipeline(
+        noise_estimator=unet, latent_embedder=vae,
+        classifier_free_guidance_dropout=0.0, do_input_centering=False,
+        shift=args.flow_shift,
+        latent_scale=args.latent_scale, latent_shift=args.latent_shift,
+    )
+
+    h, w, c = p.latent_shape
+    z0 = np.zeros((batch_size, h, w, c), np.float32)
+    t0 = np.zeros((batch_size,), np.int32)
+    teacher = unet.init(key, z0, t0.astype(np.float32),
+                        t0 if p.num_classes else None)["params"]
+    if args.teacher_ckpt:
+        template = TrainState.create(teacher, optax.adamw(1e-4))
+        teacher = C.restore_checkpoint(Path(args.teacher_ckpt), template).params
+        print(f"flow teacher restored from {args.teacher_ckpt}")
+
+    gen = jax.jit(partial(
+        generate_reflow_pairs, pipe, num_pairs=batch_size,
+        latent_shape=p.latent_shape, steps=args.reflow_teacher_steps,
+        guidance_scale=args.teacher_guidance))
+
+    def make_pool(params, pool_key):
+        """args.pair_batches coupled-pair batches from `params`' ODE."""
+        pool = []
+        for j in range(args.pair_batches):
+            k = jax.random.fold_in(pool_key, j)
+            k_cond, k_pair = jax.random.split(k)
+            cond = un_cond = None
+            if p.num_classes:
+                cond = jax.random.randint(k_cond, (batch_size,), 0,
+                                          p.num_classes)
+                if args.teacher_guidance != 1.0:
+                    un_cond = 1 - cond  # reference convention, 2-class
+            z1, z0p = gen({"noise_estimator": params}, k_pair,
+                          condition=cond, un_cond=un_cond)
+            batch = {"z0": z0p, "z1": z1}
+            if cond is not None:
+                batch["target"] = cond
+            pool.append(batch)
+        return pool
+
+    lr = args.lr or p.diffusion_lr
+    dtype = jnp.bfloat16 if args.bf16 else None
+    phases = [("reflow", None, args.iters_per_stage)]
+    if args.reflow_distill_iters:
+        phases.append(("reflow_1step", 1.0, args.reflow_distill_iters))
+
+    student = teacher
+    for phase_idx, (phase, distill_t, iters) in enumerate(phases):
+        stage_dir = out / phase
+        writer = MetricsWriter(stage_dir / "logs")
+        step_fn = make_reflow_train_step(pipe, distill_t=distill_t,
+                                         compute_dtype=dtype)
+        state = TrainState.create(student, optax.adamw(lr))
+        # pairs always come from the ORIGINAL teacher's ODE unless the
+        # student is promoted by --regen-every (k-rectification)
+        pool_src = teacher if phase == "reflow" else student
+        pool = make_pool(pool_src, jax.random.fold_in(key, 500_000 + phase_idx))
+        print(f"--- {phase}: {len(pool)} pair batches x {batch_size}, "
+              f"{iters} iters ---")
+        t0s = time.time()
+        for it in range(1, iters + 1):
+            if (args.regen_every and phase == "reflow"
+                    and it % args.regen_every == 0):
+                pool = make_pool(state.params, jax.random.fold_in(key, it))
+            batch = pool[(it - 1) % len(pool)]
+            k_it = jax.random.fold_in(jax.random.fold_in(key, 7_000_000 + it),
+                                      phase_idx)
+            state, metrics = step_fn(state, batch, k_it)
+            if it % 50 == 0 or it == 1:
+                writer.log_scalars(it, metrics)
+                print(f"{phase} it {it} loss {float(metrics['loss']):.5f} "
+                      f"({time.time() - t0s:.1f}s)")
+            if it % args.ckpt_every == 0 or it >= iters:
+                C.save_checkpoint(stage_dir / "checkpoints", state, it,
+                                  config=dataclasses.asdict(p), keep_top_k=2)
+        writer.close()
+        student = state.params
+        print(f"{phase} done -> {stage_dir}/checkpoints")
+    n_rec = ("1 (Euler)" if args.reflow_distill_iters else "1-4")
+    print(f"reflow complete -> {out}  "
+          f"(sample: cli.sample --family flow --steps {n_rec})")
 
 
 if __name__ == "__main__":

@@ -19,3 +19,7 @@ from medfusion_tpu.train.classifier import (  # noqa: F401
     make_classifier_train_step,
 )
 from medfusion_tpu.train.flow import make_flow_train_step  # noqa: F401
+from medfusion_tpu.train.reflow import (  # noqa: F401
+    generate_reflow_pairs,
+    make_reflow_train_step,
+)
