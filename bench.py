@@ -62,7 +62,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16
 A100_EFFECTIVE_FLOPS = 0.35 * 156e12  # eager torch TF32 estimate, documented above
 
 
-def build(preset="chest", attention="none"):
+def build(preset="chest", attention="none", family="diffusion"):
     from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
     from medfusion_tpu.models.latent_embedders import VAE
     from medfusion_tpu.models.unet import UNet
@@ -76,11 +76,17 @@ def build(preset="chest", attention="none"):
                 deep_supervision=0, use_attention=attention)
     vae = VAE(in_channels=3, out_channels=3, emb_channels=lat[-1],
               hid_chs=(64, 128, 256, 512), deep_supervision=0)
-    sched = GaussianDiffusionSchedule.create(
-        timesteps=1000, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
-    )
-    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, latent_embedder=vae,
-                             compute_dtype=jnp.bfloat16)
+    if family == "flow":
+        from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+
+        pipe = FlowMatchingPipeline(noise_estimator=unet, latent_embedder=vae,
+                                    compute_dtype=jnp.bfloat16)
+    else:
+        sched = GaussianDiffusionSchedule.create(
+            timesteps=1000, schedule_strategy="scaled_linear", beta_start=0.002, beta_end=0.02
+        )
+        pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet, latent_embedder=vae,
+                                 compute_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
     z = jnp.zeros((1,) + lat, jnp.float32)
@@ -122,7 +128,10 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
     lat = PRESETS[preset]["latent"]
 
     def run(params, rng):
-        if sampler == "edm":
+        if sampler == "flow":
+            out = pipe.sample(params, rng, batch, lat, condition=cond,
+                              steps=steps, guidance_scale=1.0, heun=True)
+        elif sampler == "edm":
             k_init, _ = jax.random.split(rng)
             x_T = jax.random.normal(k_init, (batch, *lat))
             out = pipe.denoise_edm(params, x_T, condition=cond, steps=steps,
@@ -151,8 +160,10 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
     vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
     img = PRESETS[preset]["image"]
     lat_s = f"{lat[-1]}x{lat[0]}x{lat[1]}"
-    sampler_s = (f"{steps}-step DDIM" if sampler == "ddim"
-                 else f"{steps}-step EDM Heun ({2 * steps - 1} NFE)")
+    sampler_s = {"ddim": f"{steps}-step DDIM",
+                 "edm": f"{steps}-step EDM Heun ({2 * steps - 1} NFE)",
+                 "flow": f"{steps}-step flow ODE Heun ({2 * steps - 1} NFE)",
+                 }[sampler]
     return {
         "metric": f"{img}x{img} samples/sec/chip ({sampler_s}, {preset} latent {lat_s}, bf16)",
         "attention": attention_label,
@@ -187,9 +198,10 @@ def main():
                          "program, 1024-token softmax at the top level)")
     ap.add_argument("--flash", action="store_true",
                     help="route attention through the Pallas flash kernel")
-    ap.add_argument("--sampler", choices=["ddim", "edm"], default="ddim",
-                    help="opt-in EDM (Karras Heun) measurement; the driver "
-                         "headline is 150-step DDIM")
+    ap.add_argument("--sampler", choices=["ddim", "edm", "flow"],
+                    default="ddim",
+                    help="opt-in EDM (Karras Heun) or rectified-flow ODE "
+                         "measurement; the driver headline is 150-step DDIM")
     ap.add_argument("--steps", type=int, default=STEPS,
                     help="sampler step count (headline protocol: 150)")
     args = ap.parse_args()
@@ -197,10 +209,11 @@ def main():
         ap.error("--flash has no effect without attention layers; "
                  "add --attention spatial|linear")
 
-    pipe, params = build(args.preset, args.attention)
+    pipe, params = build(args.preset, args.attention,
+                         family="flow" if args.sampler == "flow" else "diffusion")
     # FLOP counting runs on the XLA path (same math); the Pallas switch is
     # flipped afterwards and read at trace time by compute_attention.
-    nfe = (2 * args.steps - 1) if args.sampler == "edm" else args.steps
+    nfe = (2 * args.steps - 1) if args.sampler in ("edm", "flow") else args.steps
     fps = flops_per_sample(pipe, params, args.preset, nfe=nfe)
     if args.flash:
         import medfusion_tpu.ops as ops

@@ -263,10 +263,16 @@ def img2img(args):
     cond = None
     if args.label is not None and p.num_classes:
         cond = jnp.asarray([args.label], jnp.int32)
-    out = pipe.img2img(params, jax.random.PRNGKey(args.seed), x,
-                       strength=args.strength, condition=cond,
-                       steps=args.steps, use_ddim=True, eta=0.0,
-                       guidance_scale=args.guidance_scale)
+    if args.family == "flow":
+        out = pipe.img2img(params, jax.random.PRNGKey(args.seed), x,
+                           strength=args.strength, condition=cond,
+                           steps=args.steps,
+                           guidance_scale=args.guidance_scale)
+    else:
+        out = pipe.img2img(params, jax.random.PRNGKey(args.seed), x,
+                           strength=args.strength, condition=cond,
+                           steps=args.steps, use_ddim=True, eta=0.0,
+                           guidance_scale=args.guidance_scale)
     rows = [np.asarray(x)[0], np.asarray(out)[0]]
     out_dir = Path(args.out)
     save_image_grid(np.stack(rows), out_dir / "img2img.png", nrow=2)
@@ -301,6 +307,12 @@ def main(argv=None):
                                 "(slerp) instead of stochastic q_sample "
                                 "noising — faithful endpoints")
         if name == "img2img":
+            s.add_argument("--family", choices=("diffusion", "flow"),
+                           default="diffusion",
+                           help="flow = rectified-flow checkpoint (straight-"
+                                "path jump + ODE tail instead of q_sample + "
+                                "DDIM tail)")
+            s.add_argument("--flow-shift", type=float, default=1.0)
             s.add_argument("--i1", type=int, default=0,
                            help="dataset index of the image to edit")
             s.add_argument("--strength", type=float, default=0.6,

@@ -162,7 +162,8 @@ def main(argv=None):
                                           args.classifier_model_channels,
                                           args.classifier_pool)
     out = Path(args.out)
-    steps = min(args.steps, p.timesteps)
+    # the flow ODE step count is schedule-free; diffusion grids cap at T
+    steps = args.steps if args.family == "flow" else min(args.steps, p.timesteps)
 
     results = {}
     for cond_val in ([0, 1, None] if p.num_classes else [None]):

@@ -69,10 +69,12 @@ class DemoState:
         p, pipe, params = self.pipeline(preset_name)
         with self._lock:
             if preset_name not in self._batchers:
+                fam = getattr(self.args, "family", "diffusion")
                 fn = make_sample_batch_fn(
                     pipe, params, p.latent_shape,
-                    steps=min(50, p.timesteps), guidance_scale=4.0,
-                    conditional=bool(p.num_classes))
+                    steps=(25 if fam == "flow" else min(50, p.timesteps)),
+                    guidance_scale=4.0,
+                    conditional=bool(p.num_classes), family=fam)
                 self._batchers[preset_name] = MicroBatcher(
                     fn, batch_size=self.args.serve_batch)
         return self._batchers[preset_name]
@@ -104,11 +106,18 @@ class DemoState:
         try:
             p, pipe, params = self.pipeline(preset)
             cond = jnp.full((n,), cond_val, jnp.int32) if p.num_classes else None
-            imgs = pipe.sample(
-                params, jax.random.PRNGKey(seed), n, p.latent_shape,
-                condition=cond, steps=min(steps, p.timesteps), use_ddim=True,
-                guidance_scale=guidance if cond is not None else 1.0,
-            )
+            gs = guidance if cond is not None else 1.0
+            if getattr(self.args, "family", "diffusion") == "flow":
+                imgs = pipe.sample(
+                    params, jax.random.PRNGKey(seed), n, p.latent_shape,
+                    condition=cond, steps=steps, guidance_scale=gs,
+                )
+            else:
+                imgs = pipe.sample(
+                    params, jax.random.PRNGKey(seed), n, p.latent_shape,
+                    condition=cond, steps=min(steps, p.timesteps),
+                    use_ddim=True, guidance_scale=gs,
+                )
             arr = ((np.asarray(imgs).clip(-1, 1) + 1) * 127.5).astype(np.uint8)
             with self._lock:
                 self._images[key] = arr
@@ -230,6 +239,11 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--vae-ckpt", default=None)
     ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--family", choices=("diffusion", "flow"),
+                    default="diffusion",
+                    help="flow = serve a rectified-flow checkpoint "
+                         "(Heun probability-flow ODE sampler)")
+    ap.add_argument("--flow-shift", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--serve-batch", type=int, default=4,

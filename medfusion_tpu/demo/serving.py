@@ -33,20 +33,25 @@ import jax.numpy as jnp
 
 def make_sample_batch_fn(pipe, params, latent_shape, steps: int = 50,
                          guidance_scale: float = 1.0, conditional: bool = True,
-                         base_key=None) -> Callable:
+                         base_key=None, family: str = "diffusion") -> Callable:
     """Jitted ``(seeds[B], conds[B]) -> images [B, H, W, C]`` with per-slot
     noise streams: slot i's init noise is ``normal(fold_in(base, seeds[i]))``
-    so results are independent of batch composition."""
+    so results are independent of batch composition. ``family='flow'`` serves
+    a rectified-flow checkpoint through its Heun ODE sampler."""
     base = jax.random.PRNGKey(0) if base_key is None else base_key
 
     @jax.jit
     def batch_fn(seeds, conds):
         keys = jax.vmap(lambda s: jax.random.fold_in(base, s))(seeds)
         x_T = jax.vmap(lambda k: jax.random.normal(k, latent_shape))(keys)
+        gs = guidance_scale if conditional else 1.0
+        if family == "flow":
+            return pipe.denoise(
+                params, x_T, None, condition=conds if conditional else None,
+                steps=steps, guidance_scale=gs)
         return pipe.denoise(
             params, x_T, base, condition=conds if conditional else None,
-            steps=steps, use_ddim=True, eta=0.0,
-            guidance_scale=guidance_scale if conditional else 1.0)
+            steps=steps, use_ddim=True, eta=0.0, guidance_scale=gs)
 
     return batch_fn
 

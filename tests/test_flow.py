@@ -205,6 +205,28 @@ def test_flow_cli_train_and_sample(tmp_path):
     assert (sample_dir / "sample_cond_0.png").exists()
 
 
+def test_flow_serving_microbatcher():
+    """The serving micro-batcher serves flow checkpoints: family='flow'
+    batch fn produces finite fixed-shape rows, deterministic per (seed,
+    cond) slot regardless of batch composition."""
+    from medfusion_tpu.demo.serving import MicroBatcher, make_sample_batch_fn
+
+    pipe = FlowMatchingPipeline(noise_estimator=_LinearVelocity(),
+                                do_input_centering=False)
+    fn = make_sample_batch_fn(pipe, {"noise_estimator": {}}, (4, 4, 1),
+                              steps=4, conditional=False, family="flow")
+    mb = MicroBatcher(fn, batch_size=2, max_wait_s=0.2)
+    try:
+        futs = [mb.submit(seed=s, cond=0) for s in range(4)]
+        got = [np.asarray(f.result(timeout=120)) for f in futs]
+    finally:
+        mb.close()
+    assert all(g.shape == (4, 4, 1) and np.all(np.isfinite(g)) for g in got)
+    # per-slot determinism: same seed alone reproduces the batched row
+    solo = np.asarray(fn(jnp.asarray([2, 2]), jnp.asarray([0, 0])))[0]
+    np.testing.assert_allclose(got[2], solo, rtol=1e-5, atol=1e-6)
+
+
 def test_flow_cli_rejects_schedule_flags(tmp_path):
     from medfusion_tpu.cli import train_diffusion
 
@@ -213,6 +235,52 @@ def test_flow_cli_rejects_schedule_flags(tmp_path):
             "--preset", "smoke", "--family", "flow", "--zero-terminal-snr",
             "--max-steps", "1", "--out", str(tmp_path / "x"),
         ])
+
+
+@pytest.mark.parametrize("estimator", ["dit", "openai"])
+def test_flow_rides_other_estimator_families(estimator):
+    """The flow family reuses the shared estimator contract (float t like
+    the EDM sampler's fractional queries), so non-UNet families train and
+    sample as flow models with zero changes."""
+    from medfusion_tpu.cli.presets import PRESETS, build_unet
+
+    p = PRESETS["smoke"]
+    est = build_unet(p, estimator)
+    h, w, c = p.latent_shape
+    z = jax.random.normal(KEY, (2, h, w, c))
+    y = jnp.asarray([0, 1], jnp.int32)
+    params = est.init(KEY, z, jnp.zeros((2,), jnp.float32), y)["params"]
+    pipe = FlowMatchingPipeline(noise_estimator=est, do_input_centering=False,
+                                classifier_free_guidance_dropout=0.0)
+    state = TrainState.create(params, optax.adam(1e-3))
+    step = make_flow_train_step(pipe, donate=False)
+    state, metrics = step(state, None, {"source": z, "target": y}, KEY)
+    assert np.isfinite(float(metrics["loss"]))
+    out = pipe.sample({"noise_estimator": state.params}, jax.random.PRNGKey(1),
+                      2, (h, w, c), condition=y, steps=3, guidance_scale=2.0)
+    assert out.shape == (2, h, w, c)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flow_3d_volumetric():
+    """The flow family is dimension-agnostic through the estimator contract:
+    3D UNet + the same ODE sampler over a volumetric latent (mirror of
+    test_3d.py's diffusion assertion)."""
+    unet = UNet(in_ch=2, out_ch=2, spatial_dims=3, hid_chs=(4, 8),
+                kernel_sizes=(3, 3), strides=(1, 2), time_emb_dim=16,
+                cond_emb_num_classes=2, deep_supervision=0, use_attention="none",
+                norm_name=("GROUP", {"num_groups": 2, "affine": True}))
+    z = jax.random.normal(KEY, (2, 4, 4, 4, 2))
+    c = jnp.asarray([0, 1], jnp.int32)
+    params = unet.init(KEY, z, jnp.zeros((2,), jnp.float32), c)["params"]
+    pipe = FlowMatchingPipeline(noise_estimator=unet, do_input_centering=False)
+    loss, _ = pipe.train_loss({"noise_estimator": params},
+                              {"source": z, "target": c}, KEY)
+    assert np.isfinite(float(loss))
+    out = pipe.sample({"noise_estimator": params}, jax.random.PRNGKey(4), 2,
+                      (4, 4, 4, 2), condition=c, steps=3, guidance_scale=4.0)
+    assert out.shape == (2, 4, 4, 4, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_flow_sharded_bulk_sampler(tmp_path):
