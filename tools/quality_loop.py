@@ -103,11 +103,21 @@ def train_vae(x):
     return vae, state.params
 
 
-def build_pipe(vae, unet_params_init=False):
+def build_pipe(vae, unet_params_init=False, family="diffusion"):
     unet = UNet(in_ch=2, out_ch=2, hid_chs=(32, 64), kernel_sizes=(3, 3),
                 strides=(1, 2), time_emb_dim=64, cond_emb_num_classes=CLASSES,
                 norm_name=("GROUP", {"num_groups": 8, "affine": True}),
                 deep_supervision=0)
+    if family == "flow":
+        # rectified-flow family through the SAME loop (pipelines/flow.py):
+        # scheduler-free velocity objective, Heun ODE sampling
+        from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+
+        pipe = FlowMatchingPipeline(
+            noise_estimator=unet, latent_embedder=vae,
+            do_input_centering=False, classifier_free_guidance_dropout=0.0,
+            timestep_sampling="logit_normal")
+        return pipe, unet
     # zero-terminal-SNR schedule + v objective (this round's features): at
     # T=200 the reference beta range leaves abar_T ~ 0.11 — an 11%% signal
     # gap between training and the N(0,1) sampling prior that wrecks the toy
@@ -141,14 +151,19 @@ def train_diffusion(pipe, unet, vae_params, x, y):
     return state.params
 
 
-def bulk_sample(pipe, params, tag):
+def bulk_sample(pipe, params, tag, family="diffusion"):
     """Mesh-sharded bulk sampling, sample_dataset protocol: per-chunk labels,
     un_cond = 1 - label, guidance 1."""
     mesh = make_mesh(n_model=1)
-    sampler = make_sharded_sampler(pipe, mesh, (IMG // 2, IMG // 2, 2),
-                                   steps=SAMPLE_STEPS, use_ddim=True, eta=1.0,
-                                   guidance_scale=1.0, decode=True,
-                                   timestep_spacing="trailing")
+    if family == "flow":
+        sampler = make_sharded_sampler(pipe, mesh, (IMG // 2, IMG // 2, 2),
+                                       steps=25, sampler="flow",
+                                       guidance_scale=1.0, decode=True)
+    else:
+        sampler = make_sharded_sampler(pipe, mesh, (IMG // 2, IMG // 2, 2),
+                                       steps=SAMPLE_STEPS, use_ddim=True, eta=1.0,
+                                       guidance_scale=1.0, decode=True,
+                                       timestep_spacing="trailing")
     cond = jnp.asarray([i % CLASSES for i in range(N_FAKE)], jnp.int32)
     t0 = time.time()
     out = sampler(params, jax.random.PRNGKey(42), N_FAKE,
@@ -201,13 +216,22 @@ def evaluate(real_u8, fake_u8):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("diffusion", "flow"),
+                    default="diffusion",
+                    help="flow = rectified-flow family through the same "
+                         "train -> bulk-sample -> FID/P-R loop")
+    fam = ap.parse_args().family
+
     assert jax.device_count() >= 8, (
         "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
     x, y = dataset_arrays()
     real_u8 = to_uint8(x)
 
     vae, vae_params = train_vae(x)
-    pipe, unet = build_pipe(vae)
+    pipe, unet = build_pipe(vae, family=fam)
 
     # two-stage CEILING: VAE reconstructions of the real set — the best any
     # diffusion stage on this VAE could look under the same metric
@@ -223,19 +247,20 @@ def main():
                           jnp.zeros((2,), jnp.int32))["params"]
     fake_untrained = bulk_sample(
         pipe, {"noise_estimator": untrained, "latent_embedder": vae_params},
-        "untrained")
+        "untrained", family=fam)
     fid_u, p_u, r_u = evaluate(real_u8, to_uint8(fake_untrained))
     print(f"# untrained: FID={fid_u:.1f} P={p_u:.3f} R={r_u:.3f}", flush=True)
 
     trained = train_diffusion(pipe, unet, vae_params, x, y)
     fake_trained = bulk_sample(
         pipe, {"noise_estimator": trained, "latent_embedder": vae_params},
-        "trained")
+        "trained", family=fam)
     fid_t, p_t, r_t = evaluate(real_u8, to_uint8(fake_trained))
     print(f"# trained:   FID={fid_t:.1f} P={p_t:.3f} R={r_t:.3f}", flush=True)
 
     ok = fid_t < 0.5 * fid_u and p_t > 0 and r_t > 0
     print(json.dumps({
+        "family": fam,
         "protocol": "toy BASELINE-5: train AE+diffusion on synthetic blobs, "
                     "mesh-sharded bulk sample %d, FID/P-R vs %d real "
                     "(4x4-pooled pixels -> 128-d random projection featurizer)"
