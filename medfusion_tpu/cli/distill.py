@@ -67,13 +67,22 @@ def main(argv=None):
     ap.add_argument("--stages", type=int, default=0,
                     help="number of halvings (0 = keep halving down to 1 step)")
     ap.add_argument("--iters-per-stage", type=int, default=10000)
-    ap.add_argument("--method", choices=("pd", "cd", "reflow"), default="pd",
+    ap.add_argument("--method", choices=("pd", "cd", "ct", "reflow"),
+                    default="pd",
                     help="pd = progressive distillation (stage-halving, "
                          "arXiv:2202.00512); cd = consistency distillation "
                          "(single run -> 1-step generator, arXiv:2303.01469); "
+                         "ct = teacher-FREE consistency training "
+                         "(arXiv:2310.14189 — no diffusion teacher at all); "
                          "reflow = rectified-flow straightening + 1-step "
                          "distillation for --family flow checkpoints "
                          "(arXiv:2209.03003 §3)")
+    ap.add_argument("--ct-s0", type=int, default=10,
+                    help="ct: curriculum start discretization N(0)-1")
+    ap.add_argument("--ct-s1", type=int, default=1280,
+                    help="ct: curriculum end discretization (doubles toward)")
+    ap.add_argument("--ct-doublings", type=int, default=None,
+                    help="ct: cap curriculum stages (smoke/testing)")
     ap.add_argument("--flow-shift", type=float, default=1.0,
                     help="reflow: SD3 shift the flow teacher was trained "
                          "with (arXiv:2403.03206 eq. 23)")
@@ -116,6 +125,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    if args.method == "ct" and args.teacher_ckpt:
+        raise SystemExit("--method ct is teacher-free (consistency "
+                         "TRAINING); drop --teacher-ckpt (use cd to "
+                         "distill a diffusion teacher)")
     p = PRESETS[args.preset]
     batch_size = args.batch_size or p.diffusion_batch_size
     out = Path(args.out)
@@ -159,6 +172,57 @@ def main(argv=None):
                           weights=ds.get_weights())
 
     lr = args.lr or p.diffusion_lr
+    if args.method == "ct":
+        from medfusion_tpu.train.consistency import (
+            ct_curriculum_grid,
+            make_consistency_training_step,
+        )
+
+        # iCT default metric: pseudo-Huber with c = 0.00054*sqrt(D)
+        D = h * w * c
+        huber = (args.cd_huber if args.cd_huber is not None
+                 else 0.00054 * float(np.sqrt(D)))
+        stages = ct_curriculum_grid(args.iters_per_stage, args.ct_s0,
+                                    args.ct_s1, args.ct_doublings)
+        stage_dir = out / "consistency_training"
+        writer = MetricsWriter(stage_dir / "logs")
+        state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
+        step_fn, cur_grid = None, None
+        it, epoch, t0s = 0, 0, time.time()
+        while it < args.iters_per_stage:
+            for batch in dm.train_dataloader(epoch=epoch):
+                n_grid = max(n for s, n in stages if s <= it)
+                if n_grid != cur_grid:
+                    cur_grid = n_grid
+                    print(f"ct curriculum: N={n_grid} from it {it}")
+                    step_fn = make_consistency_training_step(
+                        pipe, n_grid=n_grid, sigma_data=args.cd_sigma_data,
+                        huber_c=huber,
+                        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                k = jax.random.fold_in(key, it)
+                k_enc, k_step = jax.random.split(k)
+                src = encode(jax.device_put(batch["source"]), k_enc)
+                dev = {"source": src}
+                if "target" in batch and p.num_classes:
+                    dev["target"] = jax.device_put(
+                        batch["target"].astype(np.int32))
+                state, metrics = step_fn(state, dev, k_step)
+                it += 1
+                if it % 50 == 0 or it == 1:
+                    writer.log_scalars(it, metrics)
+                    print(f"ct it {it} N={cur_grid} loss "
+                          f"{float(metrics['loss']):.5f} "
+                          f"({time.time() - t0s:.1f}s)")
+                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
+                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
+                                      config=dataclasses.asdict(p), keep_top_k=2)
+                if it >= args.iters_per_stage:
+                    break
+            epoch += 1
+        writer.close()
+        print(f"consistency training done -> {stage_dir}/checkpoints  "
+              f"(sample: train.consistency.consistency_sample, 1-4 steps)")
+        return
     if args.method == "cd":
         from medfusion_tpu.train.consistency import make_consistency_train_step
 

@@ -232,6 +232,153 @@ def make_consistency_train_step(
     return jax.jit(step_fn)
 
 
+def make_consistency_training_loss(
+    pipeline: DiffusionPipeline,
+    n_grid: int = 18,
+    rho: float = 7.0,
+    sigma_data: float = 0.5,
+    huber_c: Optional[float] = None,
+    p_mean: float = -1.1,
+    p_std: float = 2.0,
+) -> Callable:
+    """Teacher-FREE consistency training (CT, arXiv:2303.01469 Alg. 3, with
+    the arXiv:2310.14189 'improved techniques'): trains a 1-step generator
+    from data alone — no pretrained diffusion model anywhere.
+
+    Where distillation estimates the ODE step with a teacher forward, CT
+    uses the unbiased trajectory estimate from the data point itself: with
+    ONE shared eps, x_{n+1} = x0 + sigma_{n+1} eps and x_n = x0 + sigma_n eps
+    lie on the same (estimated) trajectory, so the consistency condition is
+        d( f_student(x_{n+1}, sigma_{n+1}), f_-(x_n, sigma_n) )
+    with f_- the stop-gradient student (2310.14189 drops the EMA target).
+    Improved-techniques pieces implemented here:
+
+    * lognormal discretization sampling (§3.5): p(n) proportional to
+      erf((ln sigma_{n+1} - P_mean)/(sqrt2 P_std)) - erf(same at sigma_n),
+      P_mean=-1.1, P_std=2.0 — mass concentrates at the small-sigma levels
+      that shape sample quality;
+    * loss weighting lambda(n) = 1/(sigma_{n+1} - sigma_n) (§3.2);
+    * pseudo-Huber metric (eq. 10) via ``huber_c`` (recommended
+      c = 0.00054*sqrt(D)); squared-L2 when None.
+
+    The discretization CURRICULUM N(k) (§3.6 doubling schedule) lives in the
+    driver: ``n_grid`` is static per compiled step, so the CLI re-makes the
+    step at each doubling (:func:`ct_curriculum_grid`).
+
+    ``loss_fn(student_params, batch, rng) -> (loss, metrics)``;
+    ``batch['source']`` is an x_0 in the diffusion working space."""
+    sched = pipeline.scheduler
+    if pipeline.use_self_conditioning:
+        raise ValueError("consistency training: self-cond unsupported")
+    if getattr(sched, "zero_terminal_snr", False) or pipeline.zero_terminal_snr:
+        raise ValueError(
+            "consistency training runs in k-space (sigma_max = inf on "
+            "zero-terminal-SNR schedules); use a standard schedule")
+    if n_grid < 2:
+        raise ValueError("n_grid must be >= 2")
+
+    sigma_min, sigma_max = _sigma_bounds(sched)
+    grid = S.karras_sigma_grid(sigma_min, sigma_max, n_grid, rho)[:-1][::-1]
+    # static categorical logits over the n_grid-1 adjacent (lo, hi) pairs
+    import scipy.special as _sp  # CPU-side table build, not traced
+
+    g = np.asarray(grid, np.float64)
+    cdf = _sp.erf((np.log(g) - p_mean) / (np.sqrt(2.0) * p_std))
+    probs = np.clip(cdf[1:] - cdf[:-1], 1e-12, None)
+    logits = jnp.asarray(np.log(probs / probs.sum()), jnp.float32)
+
+    def loss_fn(student_params, batch: Dict, rng):
+        x_0 = batch["source"]
+        condition = batch.get("target")
+        b = x_0.shape[0]
+        k_n, k_noise = jax.random.split(rng)
+
+        n = jax.random.categorical(k_n, logits, shape=(b,))
+        s_lo = grid[n]
+        s_hi = grid[n + 1]
+
+        eps = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
+        # the SAME eps puts both points on one estimated trajectory
+        x_hi = x_0 + _bcast(s_hi, x_0.ndim, b) * eps
+        x_lo = x_0 + _bcast(s_lo, x_0.ndim, b) * eps
+
+        f_student = consistency_function(
+            pipeline, {"noise_estimator": student_params}, x_hi, s_hi,
+            condition, sigma_data)
+        f_target = consistency_function(
+            pipeline,
+            {"noise_estimator": jax.lax.stop_gradient(student_params)},
+            x_lo, s_lo, condition, sigma_data)
+        f_target = jax.lax.stop_gradient(f_target)
+
+        diff = f_student - f_target
+        if huber_c is None:
+            per_sample = jnp.mean(diff**2, axis=tuple(range(1, x_0.ndim)))
+        else:
+            sq = jnp.sum(diff**2, axis=tuple(range(1, x_0.ndim)))
+            per_sample = jnp.sqrt(sq + huber_c**2) - huber_c
+        w = 1.0 / (s_hi - s_lo)  # 2310.14189 §3.2
+        loss = jnp.mean(w * per_sample)
+        return loss, {"loss": loss,
+                      "f_gap": jnp.mean(jnp.abs(diff)),
+                      "sigma_hi_mean": jnp.mean(s_hi)}
+
+    return loss_fn
+
+
+def make_consistency_training_step(
+    pipeline: DiffusionPipeline,
+    n_grid: int = 18,
+    rho: float = 7.0,
+    sigma_data: float = 0.5,
+    huber_c: Optional[float] = None,
+    p_mean: float = -1.1,
+    p_std: float = 2.0,
+    donate: bool = False,
+    compute_dtype=None,
+) -> Callable:
+    """``step_fn(state, batch, rng) -> (state, metrics)`` for teacher-free
+    consistency training (no teacher argument — compare
+    :func:`make_consistency_train_step`)."""
+    if compute_dtype is not None:
+        pipeline = dataclasses.replace(pipeline, compute_dtype=compute_dtype)
+    base_loss = make_consistency_training_loss(
+        pipeline, n_grid, rho, sigma_data, huber_c, p_mean, p_std)
+
+    def loss_fn(student_params, batch, rng):
+        if compute_dtype is not None:
+            student_params = jax.tree_util.tree_map(
+                lambda v: v.astype(compute_dtype), student_params)
+        return base_loss(student_params, batch, rng)
+
+    def step_fn(state: TrainState, batch: Dict, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    if donate:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn)
+
+
+def ct_curriculum_grid(total_iters: int, s0: int = 10, s1: int = 1280,
+                       doublings: Optional[int] = None):
+    """The iCT discretization curriculum (arXiv:2310.14189 §3.6): a list of
+    ``(start_iter, n_grid)`` stages doubling N from ``s0+1`` toward
+    ``s1+1`` across ``total_iters`` (each stage gets an equal share).
+    ``doublings`` caps the number of stages (smoke/testing)."""
+    ns = []
+    n = s0
+    while n <= s1:
+        ns.append(n + 1)
+        n *= 2
+    if doublings is not None:
+        ns = ns[: max(1, doublings)]
+    share = max(1, total_iters // len(ns))
+    return [(i * share, ns[i]) for i in range(len(ns))]
+
+
 def consistency_sample(
     pipeline: DiffusionPipeline,
     params_tree,

@@ -254,3 +254,125 @@ def test_consistency_distillation_learns_one_step():
     assert np.isfinite(err_after)
     assert err_after < err_before, (
         f"CD one-step error {err_after:.4f} !< untrained {err_before:.4f}")
+
+
+# ---------------------------------------------------------------------------
+# Consistency TRAINING (teacher-free, arXiv:2310.14189)
+# ---------------------------------------------------------------------------
+
+def test_oracle_ct_loss_zero():
+    """CT fixed point: with the exact consistency function as student, the
+    teacher-free loss is ~0 — the shared-eps pair (x0 + s_hi*eps,
+    x0 + s_lo*eps) lies on one trajectory whose implied eps both queries
+    recover, so f_student == f_target exactly."""
+    from medfusion_tpu.train.consistency import make_consistency_training_loss
+
+    pipe_s, _, x0, _ = _oracle_setup()
+    loss_fn = make_consistency_training_loss(pipe_s, n_grid=12,
+                                             sigma_data=SIGMA_DATA)
+    b = 16
+    x0_b = jnp.broadcast_to(jnp.asarray(x0), (b, 4, 4, 1))
+    loss, metrics = loss_fn({}, {"source": x0_b}, jax.random.PRNGKey(0))
+    assert float(metrics["f_gap"]) < 1e-4, float(metrics["f_gap"])
+    assert float(loss) < 1e-4, float(loss)
+
+
+def test_ct_lognormal_index_distribution():
+    """The sampled sigma_hi distribution matches the improved-techniques
+    erf-difference law exactly (recomputed here with scipy) and sits below
+    the uniform-index mean (mass shifts toward small sigmas)."""
+    import scipy.special as sp
+
+    from medfusion_tpu.train.consistency import (
+        _sigma_bounds,
+        make_consistency_training_loss,
+    )
+
+    pipe_s, _, x0, _ = _oracle_setup()
+    sched = pipe_s.scheduler
+    loss_fn = make_consistency_training_loss(pipe_s, n_grid=18,
+                                             sigma_data=SIGMA_DATA)
+    b = 4096
+    x0_b = jnp.broadcast_to(jnp.asarray(x0), (b, 4, 4, 1))
+    _, metrics = loss_fn({}, {"source": x0_b}, jax.random.PRNGKey(1))
+    sigma_min, sigma_max = _sigma_bounds(sched)
+    g = np.asarray(
+        S.karras_sigma_grid(sigma_min, sigma_max, 18, 7.0), np.float64)[:-1][::-1]
+    cdf = sp.erf((np.log(g) - (-1.1)) / (np.sqrt(2.0) * 2.0))
+    p = np.clip(cdf[1:] - cdf[:-1], 1e-12, None)
+    p /= p.sum()
+    expected = float((p * g[1:]).sum())      # E[sigma_hi] under the law
+    uniform = float(g[1:].mean())            # E[sigma_hi] under uniform n
+    got = float(metrics["sigma_hi_mean"])
+    assert abs(got - expected) < 0.03, (got, expected)
+    assert expected < uniform, (expected, uniform)
+
+
+def test_ct_curriculum_grid():
+    from medfusion_tpu.train.consistency import ct_curriculum_grid
+
+    stages = ct_curriculum_grid(800, s0=10, s1=80)
+    assert [n for _, n in stages] == [11, 21, 41, 81]
+    starts = [s for s, _ in stages]
+    assert starts[0] == 0 and starts == sorted(starts)
+    assert ct_curriculum_grid(100, doublings=2) == [(0, 11), (50, 21)]
+
+
+def test_consistency_training_learns_one_step():
+    """Teacher-free CT from scratch on a biased toy dataset: the loss falls
+    and the trained one-step generator's output distribution moves toward
+    the data (mean shift), while the untrained one stays near zero (zero-init
+    UNet head => f(x, sigma_max) ~ c_skip*x ~ 0)."""
+    from medfusion_tpu.train.consistency import make_consistency_training_step
+
+    T = 50
+    unet = UNet(in_ch=1, out_ch=1, hid_chs=(16, 32), kernel_sizes=(3, 3),
+                strides=(1, 2),
+                norm_name=("GROUP", {"num_groups": 8, "affine": True}),
+                deep_supervision=0, time_emb_dim=32)
+    sched = _sched(T)
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=unet,
+                             estimator_objective="x_0", clip_x0=False,
+                             do_input_centering=False)
+    init = unet.init(KEY, jnp.zeros((2, 16, 16, 1)),
+                     jnp.zeros((2,), jnp.int32))["params"]
+    rng = np.random.default_rng(7)
+    data = jnp.asarray(
+        (0.6 + 0.1 * rng.standard_normal((32, 16, 16, 1))).astype(np.float32))
+
+    step = make_consistency_training_step(pipe, n_grid=10,
+                                          sigma_data=SIGMA_DATA,
+                                          huber_c=0.0087)  # 0.00054*sqrt(256)
+    state = TrainState.create(init, optax.adamw(3e-3))
+    losses = []
+    for it in range(300):
+        idx = np.random.default_rng(it).choice(32, 8, replace=False)
+        state, metrics = step(state, {"source": data[idx]},
+                              jax.random.fold_in(KEY, it))
+        losses.append(float(metrics["loss"]))
+    early, late = np.mean(losses[:10]), np.mean(losses[-10:])
+    assert late < 0.7 * early, f"no CT learning: {early:.4f} -> {late:.4f}"
+
+    x_T = jnp.asarray(rng.standard_normal((8, 16, 16, 1)).astype(np.float32))
+    before = consistency_sample(pipe, {"noise_estimator": init}, x_T,
+                                steps=1, sigma_data=SIGMA_DATA, decode=False)
+    after = consistency_sample(pipe, {"noise_estimator": state.params}, x_T,
+                               steps=1, sigma_data=SIGMA_DATA, decode=False)
+    assert np.all(np.isfinite(np.asarray(after)))
+    gap_before = abs(float(jnp.mean(before)) - 0.6)
+    gap_after = abs(float(jnp.mean(after)) - 0.6)
+    assert gap_after < 0.5 * gap_before, (gap_after, gap_before)
+
+
+def test_ct_cli_smoke(tmp_path):
+    from medfusion_tpu.cli import distill
+
+    out = tmp_path / "ct"
+    distill.main(["--preset", "smoke", "--method", "ct", "--ct-doublings", "1",
+                  "--iters-per-stage", "3", "--ckpt-every", "3",
+                  "--out", str(out), "--batch-size", "4"])
+    assert (out / "consistency_training" / "checkpoints").exists()
+    with pytest.raises(SystemExit, match="teacher-free"):
+        distill.main(["--preset", "smoke", "--method", "ct",
+                      "--teacher-ckpt", str(out),
+                      "--iters-per-stage", "1", "--out", str(out)])
