@@ -50,6 +50,45 @@ from medfusion_tpu.utils import checkpoint as C
 from medfusion_tpu.utils.logging import MetricsWriter
 
 
+def _run_stage(state, stage_step, iters, stage_dir, tag, ckpt_every, p):
+    """One training stage shared by all four methods:
+    ``stage_step(state, it0) -> (state, metrics)`` supplies the method-
+    specific work; this handles the log-every-50 / checkpoint-every /
+    final-checkpoint scaffolding exactly once."""
+    writer = MetricsWriter(stage_dir / "logs")
+    t0s = time.time()
+    for it in range(1, iters + 1):
+        state, metrics = stage_step(state, it - 1)
+        if it % 50 == 0 or it == 1:
+            writer.log_scalars(it, metrics)
+            print(f"{tag} it {it} loss {float(metrics['loss']):.5f} "
+                  f"({time.time() - t0s:.1f}s)")
+        if it % ckpt_every == 0 or it >= iters:
+            C.save_checkpoint(stage_dir / "checkpoints", state, it,
+                              config=dataclasses.asdict(p), keep_top_k=2)
+    writer.close()
+    return state
+
+
+def _latent_batches(dm, p, encode, key, want_uncond):
+    """Infinite ``(device_batch, step_rng)`` stream: dataloader -> frozen-VAE
+    encode (outside the distillation graph) -> optional 2-class negative
+    labels (reference 1-label convention, guided teachers only)."""
+    it, epoch = 0, 0
+    while True:
+        for batch in dm.train_dataloader(epoch=epoch):
+            k_enc, k_step = jax.random.split(jax.random.fold_in(key, it))
+            dev = {"source": encode(jax.device_put(batch["source"]), k_enc)}
+            if "target" in batch and p.num_classes:
+                tgt = batch["target"].astype(np.int32)
+                dev["target"] = jax.device_put(tgt)
+                if want_uncond and p.num_classes == 2:
+                    dev["un_cond"] = jax.device_put(1 - tgt)
+            yield dev, k_step
+            it += 1
+        epoch += 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=sorted(PRESETS), default="chest")
@@ -185,41 +224,26 @@ def main(argv=None):
         stages = ct_curriculum_grid(args.iters_per_stage, args.ct_s0,
                                     args.ct_s1, args.ct_doublings)
         stage_dir = out / "consistency_training"
-        writer = MetricsWriter(stage_dir / "logs")
         state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
-        step_fn, cur_grid = None, None
-        it, epoch, t0s = 0, 0, time.time()
-        while it < args.iters_per_stage:
-            for batch in dm.train_dataloader(epoch=epoch):
-                n_grid = max(n for s, n in stages if s <= it)
-                if n_grid != cur_grid:
-                    cur_grid = n_grid
-                    print(f"ct curriculum: N={n_grid} from it {it}")
-                    step_fn = make_consistency_training_step(
-                        pipe, n_grid=n_grid, sigma_data=args.cd_sigma_data,
-                        huber_c=huber,
-                        compute_dtype=jnp.bfloat16 if args.bf16 else None)
-                k = jax.random.fold_in(key, it)
-                k_enc, k_step = jax.random.split(k)
-                src = encode(jax.device_put(batch["source"]), k_enc)
-                dev = {"source": src}
-                if "target" in batch and p.num_classes:
-                    dev["target"] = jax.device_put(
-                        batch["target"].astype(np.int32))
-                state, metrics = step_fn(state, dev, k_step)
-                it += 1
-                if it % 50 == 0 or it == 1:
-                    writer.log_scalars(it, metrics)
-                    print(f"ct it {it} N={cur_grid} loss "
-                          f"{float(metrics['loss']):.5f} "
-                          f"({time.time() - t0s:.1f}s)")
-                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
-                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
-                                      config=dataclasses.asdict(p), keep_top_k=2)
-                if it >= args.iters_per_stage:
-                    break
-            epoch += 1
-        writer.close()
+        batches = _latent_batches(dm, p, encode, key, want_uncond=False)
+        cur = {"n": None, "fn": None}
+
+        def ct_step(state, it0):
+            # the discretization N(k) is static per compiled step: rebuild
+            # (recompile) at each curriculum doubling
+            n_grid = max(n for s, n in stages if s <= it0)
+            if n_grid != cur["n"]:
+                cur["n"] = n_grid
+                print(f"ct curriculum: N={n_grid} from it {it0}")
+                cur["fn"] = make_consistency_training_step(
+                    pipe, n_grid=n_grid, sigma_data=args.cd_sigma_data,
+                    huber_c=huber,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None)
+            dev, k_step = next(batches)
+            return cur["fn"](state, dev, k_step)
+
+        _run_stage(state, ct_step, args.iters_per_stage, stage_dir, "ct",
+                   args.ckpt_every, p)
         print(f"consistency training done -> {stage_dir}/checkpoints  "
               f"(sample: train.consistency.consistency_sample, 1-4 steps)")
         return
@@ -227,38 +251,17 @@ def main(argv=None):
         from medfusion_tpu.train.consistency import make_consistency_train_step
 
         stage_dir = out / "consistency"
-        writer = MetricsWriter(stage_dir / "logs")
         step_fn = make_consistency_train_step(
             pipe, n_grid=args.cd_grid, sigma_data=args.cd_sigma_data,
             huber_c=args.cd_huber,
             teacher_guidance_scale=args.teacher_guidance,
             compute_dtype=jnp.bfloat16 if args.bf16 else None)
         state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
-        it, epoch, t0s = 0, 0, time.time()
-        while it < args.iters_per_stage:
-            for batch in dm.train_dataloader(epoch=epoch):
-                k = jax.random.fold_in(key, it)
-                k_enc, k_step = jax.random.split(k)
-                src = encode(jax.device_put(batch["source"]), k_enc)
-                dev = {"source": src}
-                if "target" in batch and p.num_classes:
-                    tgt = batch["target"].astype(np.int32)
-                    dev["target"] = jax.device_put(tgt)
-                    if args.teacher_guidance != 1.0 and p.num_classes == 2:
-                        dev["un_cond"] = jax.device_put(1 - tgt)
-                state, metrics = step_fn(state, teacher, dev, k_step)
-                it += 1
-                if it % 50 == 0 or it == 1:
-                    writer.log_scalars(it, metrics)
-                    print(f"cd it {it} loss {float(metrics['loss']):.5f} "
-                          f"({time.time() - t0s:.1f}s)")
-                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
-                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
-                                      config=dataclasses.asdict(p), keep_top_k=2)
-                if it >= args.iters_per_stage:
-                    break
-            epoch += 1
-        writer.close()
+        batches = _latent_batches(dm, p, encode, key,
+                                  want_uncond=args.teacher_guidance != 1.0)
+        _run_stage(state,
+                   lambda s, it0: step_fn(s, teacher, *next(batches)),
+                   args.iters_per_stage, stage_dir, "cd", args.ckpt_every, p)
         print(f"consistency distillation done -> {stage_dir}/checkpoints  "
               f"(sample: train.consistency.consistency_sample, 1-4 steps)")
         return
@@ -267,7 +270,6 @@ def main(argv=None):
     stage_idx = 0
     while n is not None:
         stage_dir = out / f"stage_{n}steps"
-        writer = MetricsWriter(stage_dir / "logs")
         # guided distillation applies to the FIRST stage only: later
         # teachers are students that already absorbed the guidance
         # (arXiv:2210.03142 two-stage recipe)
@@ -278,32 +280,15 @@ def main(argv=None):
             teacher_guidance_scale=tg)
         state = TrainState.create(teacher, optax.adamw(lr))
         print(f"--- stage {stage_idx}: distilling to {n}-step student ---")
-        it, epoch, t0s = 0, 0, time.time()
-        while it < args.iters_per_stage:
-            for batch in dm.train_dataloader(epoch=epoch):
-                k = jax.random.fold_in(jax.random.fold_in(key, stage_idx), it)
-                k_enc, k_step = jax.random.split(k)
-                src = encode(jax.device_put(batch["source"]), k_enc)
-                dev = {"source": src}
-                if "target" in batch and p.num_classes:
-                    tgt = batch["target"].astype(np.int32)
-                    dev["target"] = jax.device_put(tgt)
-                    if args.teacher_guidance != 1.0 and p.num_classes == 2:
-                        dev["un_cond"] = jax.device_put(1 - tgt)  # ref :35
-                state, metrics = step_fn(state, teacher, dev, k_step)
-                it += 1
-                if it % 50 == 0 or it == 1:
-                    writer.log_scalars(it, metrics)
-                    print(f"stage {n}-step it {it} loss "
-                          f"{float(metrics['loss']):.5f} "
-                          f"({time.time() - t0s:.1f}s)")
-                if it % args.ckpt_every == 0 or it >= args.iters_per_stage:
-                    C.save_checkpoint(stage_dir / "checkpoints", state, it,
-                                      config=dataclasses.asdict(p), keep_top_k=2)
-                if it >= args.iters_per_stage:
-                    break
-            epoch += 1
-        writer.close()
+        batches = _latent_batches(dm, p, encode,
+                                  jax.random.fold_in(key, stage_idx),
+                                  want_uncond=tg != 1.0)
+        state = _run_stage(
+            state,
+            lambda s, it0, _f=step_fn, _t=teacher, _b=batches:
+                _f(s, _t, *next(_b)),
+            args.iters_per_stage, stage_dir, f"stage {n}-step",
+            args.ckpt_every, p)
         teacher = state.params  # student becomes the next teacher
         print(f"stage done -> {stage_dir}/checkpoints  "
               f"(sample: --steps {n} --timestep-spacing trailing --objective "
@@ -345,13 +330,22 @@ def _reflow(args, p, unet, vae, out, key, batch_size):
         teacher = C.restore_checkpoint(Path(args.teacher_ckpt), template).params
         print(f"flow teacher restored from {args.teacher_ckpt}")
 
-    gen = jax.jit(partial(
-        generate_reflow_pairs, pipe, num_pairs=batch_size,
-        latent_shape=p.latent_shape, steps=args.reflow_teacher_steps,
-        guidance_scale=args.teacher_guidance))
+    def _mk_gen(g):
+        return jax.jit(partial(
+            generate_reflow_pairs, pipe, num_pairs=batch_size,
+            latent_shape=p.latent_shape, steps=args.reflow_teacher_steps,
+            guidance_scale=g))
 
-    def make_pool(params, pool_key):
-        """args.pair_batches coupled-pair batches from `params`' ODE."""
+    gen_guided = _mk_gen(args.teacher_guidance)
+    gen_plain = gen_guided if args.teacher_guidance == 1.0 else _mk_gen(1.0)
+
+    def make_pool(params, pool_key, guided):
+        """args.pair_batches coupled-pair batches from `params`' ODE.
+        ``guided`` applies --teacher-guidance CFG — valid ONLY for the
+        ORIGINAL teacher's pool: a (re)trained student has already absorbed
+        the guidance into its velocity field, so guiding its ODE again would
+        compound to ~w^2 (mirror of the pd stage-0-only rule)."""
+        gen = gen_guided if guided else gen_plain
         pool = []
         for j in range(args.pair_batches):
             k = jax.random.fold_in(pool_key, j)
@@ -360,7 +354,7 @@ def _reflow(args, p, unet, vae, out, key, batch_size):
             if p.num_classes:
                 cond = jax.random.randint(k_cond, (batch_size,), 0,
                                           p.num_classes)
-                if args.teacher_guidance != 1.0:
+                if guided and args.teacher_guidance != 1.0:
                     un_cond = 1 - cond  # reference convention, 2-class
             z1, z0p = gen({"noise_estimator": params}, k_pair,
                           condition=cond, un_cond=un_cond)
@@ -379,33 +373,36 @@ def _reflow(args, p, unet, vae, out, key, batch_size):
     student = teacher
     for phase_idx, (phase, distill_t, iters) in enumerate(phases):
         stage_dir = out / phase
-        writer = MetricsWriter(stage_dir / "logs")
         step_fn = make_reflow_train_step(pipe, distill_t=distill_t,
                                          compute_dtype=dtype)
         state = TrainState.create(student, optax.adamw(lr))
-        # pairs always come from the ORIGINAL teacher's ODE unless the
-        # student is promoted by --regen-every (k-rectification)
-        pool_src = teacher if phase == "reflow" else student
-        pool = make_pool(pool_src, jax.random.fold_in(key, 500_000 + phase_idx))
-        print(f"--- {phase}: {len(pool)} pair batches x {batch_size}, "
-              f"{iters} iters ---")
-        t0s = time.time()
-        for it in range(1, iters + 1):
-            if (args.regen_every and phase == "reflow"
+        # the first phase's pool comes from the ORIGINAL teacher (guided if
+        # --teacher-guidance); student-sourced pools (--regen-every
+        # k-rectification, and the 1-step phase) are NEVER guided — the
+        # student already absorbed the guidance
+        first = phase == "reflow"
+        pool_src = teacher if first else student
+        holder = {"pool": make_pool(pool_src,
+                                    jax.random.fold_in(key, 500_000 + phase_idx),
+                                    guided=first)}
+        print(f"--- {phase}: {len(holder['pool'])} pair batches x "
+              f"{batch_size}, {iters} iters ---")
+
+        def reflow_step(state, it0, _phase=phase, _idx=phase_idx,
+                        _step=step_fn, _h=holder):
+            it = it0 + 1
+            if (args.regen_every and _phase == "reflow"
                     and it % args.regen_every == 0):
-                pool = make_pool(state.params, jax.random.fold_in(key, it))
-            batch = pool[(it - 1) % len(pool)]
+                _h["pool"] = make_pool(state.params,
+                                       jax.random.fold_in(key, it),
+                                       guided=False)
+            batch = _h["pool"][it0 % len(_h["pool"])]
             k_it = jax.random.fold_in(jax.random.fold_in(key, 7_000_000 + it),
-                                      phase_idx)
-            state, metrics = step_fn(state, batch, k_it)
-            if it % 50 == 0 or it == 1:
-                writer.log_scalars(it, metrics)
-                print(f"{phase} it {it} loss {float(metrics['loss']):.5f} "
-                      f"({time.time() - t0s:.1f}s)")
-            if it % args.ckpt_every == 0 or it >= iters:
-                C.save_checkpoint(stage_dir / "checkpoints", state, it,
-                                  config=dataclasses.asdict(p), keep_top_k=2)
-        writer.close()
+                                      _idx)
+            return _step(state, batch, k_it)
+
+        state = _run_stage(state, reflow_step, iters, stage_dir, phase,
+                           args.ckpt_every, p)
         student = state.params
         print(f"{phase} done -> {stage_dir}/checkpoints")
     n_rec = ("1 (Euler)" if args.reflow_distill_iters else "1-4")

@@ -269,9 +269,12 @@ def img2img(args):
                            steps=args.steps,
                            guidance_scale=args.guidance_scale)
     else:
+        # cap at T like sample.py: a longer DDIM grid just duplicates
+        # timesteps and skews the strength -> start_idx mapping
         out = pipe.img2img(params, jax.random.PRNGKey(args.seed), x,
                            strength=args.strength, condition=cond,
-                           steps=args.steps, use_ddim=True, eta=0.0,
+                           steps=min(args.steps, p.timesteps),
+                           use_ddim=True, eta=0.0,
                            guidance_scale=args.guidance_scale)
     rows = [np.asarray(x)[0], np.asarray(out)[0]]
     out_dir = Path(args.out)

@@ -134,6 +134,18 @@ def main(argv=None):
     ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.family == "flow":
+        # mirror sample_dataset: reject diffusion-schedule flags instead of
+        # silently ignoring them
+        if args.zero_terminal_snr or args.guidance_rescale > 0:
+            ap.error("--zero-terminal-snr/--guidance-rescale are diffusion-"
+                     "schedule options; the flow family has no schedule")
+        if args.timestep_spacing is not None:
+            ap.error("--timestep-spacing is a diffusion DDIM-grid option; "
+                     "the flow ODE grid is set by --flow-shift")
+        if args.objective != "x_T":
+            ap.error("--objective selects a diffusion parameterization; "
+                     "flow checkpoints are velocity models")
     if args.timestep_spacing is None:
         args.timestep_spacing = "trailing" if args.zero_terminal_snr else "linspace"
     if args.classifier_ckpt and args.encoder_key_every > 1:

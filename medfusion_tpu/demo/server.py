@@ -108,9 +108,12 @@ class DemoState:
             cond = jnp.full((n,), cond_val, jnp.int32) if p.num_classes else None
             gs = guidance if cond is not None else 1.0
             if getattr(self.args, "family", "diffusion") == "flow":
+                # cap the ODE NFE: each distinct steps value is its own jit
+                # compile (minutes on the remote TPU) and 50 Heun steps
+                # (99 NFE) already saturates flow quality
                 imgs = pipe.sample(
                     params, jax.random.PRNGKey(seed), n, p.latent_shape,
-                    condition=cond, steps=steps, guidance_scale=gs,
+                    condition=cond, steps=min(steps, 50), guidance_scale=gs,
                 )
             else:
                 imgs = pipe.sample(

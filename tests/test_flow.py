@@ -228,6 +228,7 @@ def test_flow_serving_microbatcher():
 
 
 def test_flow_cli_rejects_schedule_flags(tmp_path):
+    from medfusion_tpu.cli import sample as sample_cli
     from medfusion_tpu.cli import train_diffusion
 
     with pytest.raises(SystemExit):
@@ -235,6 +236,13 @@ def test_flow_cli_rejects_schedule_flags(tmp_path):
             "--preset", "smoke", "--family", "flow", "--zero-terminal-snr",
             "--max-steps", "1", "--out", str(tmp_path / "x"),
         ])
+    # sample CLI rejects (not silently ignores) diffusion-schedule flags
+    for bad in (["--zero-terminal-snr"], ["--guidance-rescale", "0.7"],
+                ["--timestep-spacing", "trailing"], ["--objective", "v"]):
+        with pytest.raises(SystemExit):
+            sample_cli.main(["--preset", "smoke", "--family", "flow",
+                             "--n", "1", "--steps", "2",
+                             "--out", str(tmp_path / "y")] + bad)
 
 
 @pytest.mark.parametrize("estimator", ["dit", "openai"])
