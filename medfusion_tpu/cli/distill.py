@@ -50,14 +50,30 @@ from medfusion_tpu.utils import checkpoint as C
 from medfusion_tpu.utils.logging import MetricsWriter
 
 
-def _run_stage(state, stage_step, iters, stage_dir, tag, ckpt_every, p):
+def _run_stage(state, stage_step, iters, stage_dir, tag, ckpt_every, p,
+               resume=False):
     """One training stage shared by all four methods:
     ``stage_step(state, it0) -> (state, metrics)`` supplies the method-
     specific work; this handles the log-every-50 / checkpoint-every /
-    final-checkpoint scaffolding exactly once."""
+    final-checkpoint scaffolding exactly once.
+
+    ``resume=True`` restores the stage's latest checkpoint and continues
+    from its iteration count (a COMPLETED stage returns its final state
+    untouched — pd/reflow use that to fast-forward finished stages). The
+    optimizer/EMA state and step counter restore exactly; the data stream
+    restarts (infinite reshuffle — same property as train_* --resume)."""
+    start = 0
+    if resume:
+        done = C.latest_step(stage_dir / "checkpoints")
+        if done:
+            state = C.restore_checkpoint(stage_dir / "checkpoints", state)
+            start = min(done, iters)
+            print(f"{tag}: resumed from it {start}/{iters}")
+    if start >= iters:
+        return state
     writer = MetricsWriter(stage_dir / "logs")
     t0s = time.time()
-    for it in range(1, iters + 1):
+    for it in range(start + 1, iters + 1):
         state, metrics = stage_step(state, it - 1)
         if it % 50 == 0 or it == 1:
             writer.log_scalars(it, metrics)
@@ -160,6 +176,9 @@ def main(argv=None):
     ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--estimator", default="unet",
                     choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"))
+    ap.add_argument("--resume", action="store_true",
+                    help="restore each stage's latest checkpoint and "
+                         "continue (completed stages fast-forward)")
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -243,7 +262,7 @@ def main(argv=None):
             return cur["fn"](state, dev, k_step)
 
         _run_stage(state, ct_step, args.iters_per_stage, stage_dir, "ct",
-                   args.ckpt_every, p)
+                   args.ckpt_every, p, resume=args.resume)
         print(f"consistency training done -> {stage_dir}/checkpoints  "
               f"(sample: train.consistency.consistency_sample, 1-4 steps)")
         return
@@ -261,7 +280,8 @@ def main(argv=None):
                                   want_uncond=args.teacher_guidance != 1.0)
         _run_stage(state,
                    lambda s, it0: step_fn(s, teacher, *next(batches)),
-                   args.iters_per_stage, stage_dir, "cd", args.ckpt_every, p)
+                   args.iters_per_stage, stage_dir, "cd", args.ckpt_every, p,
+                   resume=args.resume)
         print(f"consistency distillation done -> {stage_dir}/checkpoints  "
               f"(sample: train.consistency.consistency_sample, 1-4 steps)")
         return
@@ -288,7 +308,7 @@ def main(argv=None):
             lambda s, it0, _f=step_fn, _t=teacher, _b=batches:
                 _f(s, _t, *next(_b)),
             args.iters_per_stage, stage_dir, f"stage {n}-step",
-            args.ckpt_every, p)
+            args.ckpt_every, p, resume=args.resume)
         teacher = state.params  # student becomes the next teacher
         print(f"stage done -> {stage_dir}/checkpoints  "
               f"(sample: --steps {n} --timestep-spacing trailing --objective "
@@ -402,7 +422,7 @@ def _reflow(args, p, unet, vae, out, key, batch_size):
             return _step(state, batch, k_it)
 
         state = _run_stage(state, reflow_step, iters, stage_dir, phase,
-                           args.ckpt_every, p)
+                           args.ckpt_every, p, resume=args.resume)
         student = state.params
         print(f"{phase} done -> {stage_dir}/checkpoints")
     n_rec = ("1 (Euler)" if args.reflow_distill_iters else "1-4")

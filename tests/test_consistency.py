@@ -376,3 +376,23 @@ def test_ct_cli_smoke(tmp_path):
         distill.main(["--preset", "smoke", "--method", "ct",
                       "--teacher-ckpt", str(out),
                       "--iters-per-stage", "1", "--out", str(out)])
+
+
+def test_distill_resume(tmp_path):
+    """--resume restores the stage's latest checkpoint: a finished short run
+    continues to the longer target, and a completed stage fast-forwards
+    without retraining."""
+    from medfusion_tpu.cli import distill
+    from medfusion_tpu.utils import checkpoint as C
+
+    out = tmp_path / "ct"
+    base = ["--preset", "smoke", "--method", "ct", "--ct-doublings", "1",
+            "--ckpt-every", "2", "--out", str(out), "--batch-size", "4"]
+    distill.main(base + ["--iters-per-stage", "2"])
+    ckpts = out / "consistency_training" / "checkpoints"
+    assert C.latest_step(ckpts) == 2
+    distill.main(base + ["--iters-per-stage", "4", "--resume"])
+    assert C.latest_step(ckpts) == 4
+    # idempotent: already complete -> no new steps
+    distill.main(base + ["--iters-per-stage", "4", "--resume"])
+    assert C.latest_step(ckpts) == 4
