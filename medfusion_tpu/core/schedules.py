@@ -164,8 +164,17 @@ class GaussianDiffusionSchedule:
             vals = np.linspace(0.0, float(self.T - 1), steps)
             return vals.astype(np.int64).astype(np.int32)
         if spacing == "trailing":
-            vals = np.round(np.arange(self.T, 0, -self.T / steps)).astype(np.int64) - 1
-            return vals[::-1].copy().astype(np.int32)
+            # Index-multiply form round(i*T/steps)-1 for i in {1..steps}, NOT
+            # np.arange(T, 0, -T/steps): the float-stride arange accumulates
+            # rounding error and returns steps+1 entries (with a bogus t=-1)
+            # for ~6% of step counts (e.g. T=1000, steps=61/103/121...), and
+            # its products round-half to the other side than the direct
+            # multiply for others (e.g. steps=48). This form is also the
+            # progressive-distillation student grid, so the two are
+            # IDENTICAL by construction (train/distillation.py contract).
+            i = np.arange(1, steps + 1, dtype=np.float64)
+            vals = np.round(i * (self.T / steps)).astype(np.int64) - 1
+            return vals.astype(np.int32)
         raise ValueError(f"unknown timestep spacing {spacing!r}")
 
 

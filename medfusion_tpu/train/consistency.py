@@ -52,17 +52,24 @@ def _sigma_bounds(sched):
     return sig[0], sig[-1]
 
 
-def _x0_from_model(pipeline: DiffusionPipeline, params_tree, x_k, sigma, condition):
+def _x0_from_model(pipeline: DiffusionPipeline, params_tree, x_k, sigma,
+                   condition, guidance_scale: float = 1.0, un_cond=None):
     """The estimator's x0-prediction at a k-space point (unclipped), queried
     in VP space with a fractional timestep — identical conventions to
-    :meth:`DiffusionPipeline.denoise_edm`."""
+    :meth:`DiffusionPipeline.denoise_edm`. ``guidance_scale != 1`` uses the
+    CFG-combined prediction (guided teacher)."""
     sched = pipeline.scheduler
     b = x_k.shape[0]
     c_in = 1.0 / jnp.sqrt(1.0 + sigma**2)
     t_b = jnp.broadcast_to(S.sigma_to_t_frac(sched, sigma), (b,)).astype(jnp.float32)
-    cond_mask = None if condition is None else jnp.ones((b,), x_k.dtype)
-    pred, _ = pipeline._apply_estimator(
-        params_tree, x_k * _bcast(c_in, x_k.ndim, b), t_b, condition, None, cond_mask)
+    x_vp = x_k * _bcast(c_in, x_k.ndim, b)
+    if guidance_scale != 1.0 and condition is not None:
+        pred = pipeline._guided_pred(params_tree, x_vp, t_b, condition, None,
+                                     guidance_scale, un_cond)
+    else:
+        cond_mask = None if condition is None else jnp.ones((b,), x_k.dtype)
+        pred, _ = pipeline._apply_estimator(
+            params_tree, x_vp, t_b, condition, None, cond_mask)
     if pipeline.estimate_variance:
         pred, _ = jnp.split(pred, 2, axis=-1)
     s_b = _bcast(sigma, x_k.ndim, b)
@@ -121,6 +128,11 @@ def make_consistency_distillation_loss(
     sched = pipeline.scheduler
     if pipeline.use_self_conditioning:
         raise ValueError("consistency distillation: self-cond unsupported")
+    if pipeline.clip_x0:
+        raise ValueError(
+            "consistency training/distillation needs clip_x0=False: clipping "
+            "f breaks the boundary parameterization and zeroes gradients "
+            "where |f| > 1 (common at mid/large sigma early in training)")
     if getattr(sched, "zero_terminal_snr", False) or pipeline.zero_terminal_snr:
         raise ValueError(
             "consistency distillation runs in k-space (sigma_max = inf on "
@@ -129,23 +141,8 @@ def make_consistency_distillation_loss(
         raise ValueError("n_grid must be >= 2")
 
     def teacher_x0(params_tree, x_k, sigma, condition, un_cond):
-        if teacher_guidance_scale != 1.0 and condition is not None:
-            b = x_k.shape[0]
-            c_in = 1.0 / jnp.sqrt(1.0 + sigma**2)
-            t_b = jnp.broadcast_to(
-                S.sigma_to_t_frac(sched, sigma), (b,)).astype(jnp.float32)
-            pred = pipeline._guided_pred(
-                params_tree, x_k * _bcast(c_in, x_k.ndim, b), t_b, condition,
-                None, teacher_guidance_scale, un_cond)
-            if pipeline.estimate_variance:
-                pred, _ = jnp.split(pred, 2, axis=-1)
-            s_b = _bcast(sigma, x_k.ndim, b)
-            if pipeline.estimator_objective == "x_T":
-                return x_k - s_b * pred
-            if pipeline.estimator_objective == "v":
-                return x_k / (1.0 + s_b**2) - (s_b / jnp.sqrt(1.0 + s_b**2)) * pred
-            return pred
-        return _x0_from_model(pipeline, params_tree, x_k, sigma, condition)
+        return _x0_from_model(pipeline, params_tree, x_k, sigma, condition,
+                              teacher_guidance_scale, un_cond)
 
     def loss_fn(student_params, target_params, teacher_params, batch: Dict, rng):
         x_0 = batch["source"]
@@ -270,6 +267,11 @@ def make_consistency_training_loss(
     sched = pipeline.scheduler
     if pipeline.use_self_conditioning:
         raise ValueError("consistency training: self-cond unsupported")
+    if pipeline.clip_x0:
+        raise ValueError(
+            "consistency training/distillation needs clip_x0=False: clipping "
+            "f breaks the boundary parameterization and zeroes gradients "
+            "where |f| > 1 (common at mid/large sigma early in training)")
     if getattr(sched, "zero_terminal_snr", False) or pipeline.zero_terminal_snr:
         raise ValueError(
             "consistency training runs in k-space (sigma_max = inf on "
@@ -280,10 +282,11 @@ def make_consistency_training_loss(
     sigma_min, sigma_max = _sigma_bounds(sched)
     grid = S.karras_sigma_grid(sigma_min, sigma_max, n_grid, rho)[:-1][::-1]
     # static categorical logits over the n_grid-1 adjacent (lo, hi) pairs
-    import scipy.special as _sp  # CPU-side table build, not traced
-
+    # (host-side table; jax erf avoids a scipy dependency)
     g = np.asarray(grid, np.float64)
-    cdf = _sp.erf((np.log(g) - p_mean) / (np.sqrt(2.0) * p_std))
+    cdf = np.asarray(jax.scipy.special.erf(
+        jnp.asarray((np.log(g) - p_mean) / (np.sqrt(2.0) * p_std),
+                    jnp.float32)))
     probs = np.clip(cdf[1:] - cdf[:-1], 1e-12, None)
     logits = jnp.asarray(np.log(probs / probs.sum()), jnp.float32)
 
@@ -364,14 +367,19 @@ def make_consistency_training_step(
 
 def ct_curriculum_grid(total_iters: int, s0: int = 10, s1: int = 1280,
                        doublings: Optional[int] = None):
-    """The iCT discretization curriculum (arXiv:2310.14189 §3.6): a list of
-    ``(start_iter, n_grid)`` stages doubling N from ``s0+1`` toward
-    ``s1+1`` across ``total_iters`` (each stage gets an equal share).
-    ``doublings`` caps the number of stages (smoke/testing)."""
+    """The iCT discretization curriculum (arXiv:2310.14189 §3.6,
+    N(k) = min(s0*2^k, s1) + 1): a list of ``(start_iter, n_grid)`` stages
+    doubling N from ``s0+1`` and CLAMPING at ``s1+1`` (so the final stage
+    always trains at the requested target discretization, even when s1 is
+    not a power-of-two multiple of s0) across ``total_iters`` (each stage
+    gets an equal share). ``doublings`` caps the stage count
+    (smoke/testing)."""
     ns = []
     n = s0
-    while n <= s1:
-        ns.append(n + 1)
+    while True:
+        ns.append(min(n, s1) + 1)
+        if n >= s1:
+            break
         n *= 2
     if doublings is not None:
         ns = ns[: max(1, doublings)]

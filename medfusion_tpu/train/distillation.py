@@ -36,6 +36,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from medfusion_tpu.core import schedules as S
 from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
@@ -96,13 +97,25 @@ def _ddim_to(pipeline, params_tree, z, t_from, t_to, condition,
 
 def student_timestep_grid(T: int, student_steps: int):
     """The three per-draw timesteps as functions of i in {1..N}:
-    (t_i, t_mid, t_end) int32 arrays given an i array."""
+    (t_i, t_mid, t_end) int32 arrays given an int i array.
+
+    Built as HOST float64 tables gathered under trace — a traced float32
+    ``jnp.round(i * (T/N))`` rounds exact-.5 products to the other side than
+    the float64 host grid for some (T, N) (e.g. T=1000, N=208/240/304),
+    which would train the student one step off the grid it samples on. The
+    t table is bit-identical to ``ddim_timesteps_host(N, 'trailing')`` by
+    construction (the sampling contract of ``student_sample_timesteps``)."""
+    i_host = np.arange(1, student_steps + 1, dtype=np.float64)
+    t_tab = jnp.asarray(np.round(i_host * (T / student_steps)) - 1, jnp.int32)
+    t_mid_tab = jnp.asarray(
+        np.round((i_host - 0.5) * (T / student_steps)) - 1, jnp.int32)
+    # t_end[i] = t[i-1]; i=1 -> -1 (the fully-clean terminal convention)
+    t_end_tab = jnp.concatenate(
+        [jnp.asarray([-1], jnp.int32), t_tab[:-1]])
 
     def grid(i):
-        t = jnp.round(i * (T / student_steps)).astype(jnp.int32) - 1
-        t_mid = jnp.round((i - 0.5) * (T / student_steps)).astype(jnp.int32) - 1
-        t_end = jnp.round((i - 1.0) * (T / student_steps)).astype(jnp.int32) - 1
-        return t, t_mid, t_end
+        idx = i.astype(jnp.int32) - 1
+        return t_tab[idx], t_mid_tab[idx], t_end_tab[idx]
 
     return grid
 
@@ -126,7 +139,7 @@ def distillation_targets(
     what the guided teacher needs 2 (CFG) x 2 (steps) for."""
     sched = pipeline.scheduler
     grid = student_timestep_grid(sched.T, student_steps)
-    t, t_mid, t_end = grid(i.astype(jnp.float32))
+    t, t_mid, t_end = grid(i)
 
     z_t = S.q_sample(sched, x_0, t, noise)
     z_mid = _ddim_to(pipeline, teacher_params_tree, z_t, t, t_mid, condition,
@@ -238,12 +251,13 @@ def next_stage_steps(student_steps: int) -> Optional[int]:
 
 def student_sample_timesteps(sched, student_steps: int) -> jnp.ndarray:
     """The ascending DDIM grid a distilled N-step student was trained for:
-    t_i = round(i*T/N) - 1 for i in {1..N}. This is EXACTLY the sampler's
-    ``timestep_spacing='trailing'`` grid (``ddim_timesteps_host``:
-    round(arange(T, 0, -T/steps)) - 1 reversed), so a distilled student
+    t_i = round(i*T/N) - 1 for i in {1..N}. This is bit-identical to the
+    sampler's ``timestep_spacing='trailing'`` grid (``ddim_timesteps_host``
+    builds the SAME index-multiply expression), so a distilled student
     samples with ``denoise(steps=N, use_ddim=True, eta=0.0,
     timestep_spacing='trailing')`` and a ``clip_x0=False`` pipeline — no
-    dedicated sampler needed (tested in tests/test_distillation.py)."""
+    dedicated sampler needed (identity tested for every N in
+    tests/test_distillation.py)."""
     import numpy as np
 
     i = np.arange(1, student_steps + 1, dtype=np.float64)

@@ -316,6 +316,24 @@ def test_ct_curriculum_grid():
     starts = [s for s, _ in stages]
     assert starts[0] == 0 and starts == sorted(starts)
     assert ct_curriculum_grid(100, doublings=2) == [(0, 11), (50, 21)]
+    # non-power-of-two target clamps at s1 (iCT N(k) = min(s0*2^k, s1)+1)
+    assert [n for _, n in ct_curriculum_grid(500, s0=10, s1=100)] == \
+        [11, 21, 41, 81, 101]
+
+
+def test_consistency_rejects_clip_x0():
+    """clip_x0=True would clip f (breaking the boundary guarantee) and zero
+    gradients where |f| > 1 — both loss factories must reject it."""
+    import dataclasses as _dc
+
+    from medfusion_tpu.train.consistency import make_consistency_training_loss
+
+    pipe_s, _, _, _ = _oracle_setup()
+    clipped = _dc.replace(pipe_s, clip_x0=True)
+    with pytest.raises(ValueError, match="clip_x0"):
+        make_consistency_distillation_loss(clipped)
+    with pytest.raises(ValueError, match="clip_x0"):
+        make_consistency_training_loss(clipped)
 
 
 def test_consistency_training_learns_one_step():

@@ -32,14 +32,41 @@ def _sched(T=100):
 
 def test_student_grid_is_the_trailing_ddim_grid():
     """The training grid t_i = round(i*T/N)-1 must equal the sampler's
-    'trailing' spacing — that identity is what lets a distilled student
-    sample via denoise(..., timestep_spacing='trailing') unchanged."""
-    for T, N in ((1000, 4), (1000, 1), (1000, 8), (50, 4), (100, 25)):
+    'trailing' spacing for EVERY step count — that identity is what lets a
+    distilled student sample via denoise(..., timestep_spacing='trailing')
+    unchanged. Exhaustive over N (regression: the old float-stride
+    np.arange trailing grid had steps+1 entries for N=61/103/... and
+    rounded the other way for N=48/96/...)."""
+    for T in (1000, 250, 50):
         sched = GaussianDiffusionSchedule.create(timesteps=T)
+        for N in range(1, min(T, 500) + 1):
+            got = sched.ddim_timesteps_host(N, spacing="trailing")
+            assert got.shape == (N,), f"T={T} N={N}: {got.shape}"
+            assert got[0] >= 0 and got[-1] == T - 1, f"T={T} N={N}"
+            np.testing.assert_array_equal(
+                np.asarray(student_sample_timesteps(sched, N)), got,
+                err_msg=f"T={T} N={N}")
+
+
+def test_traced_grid_matches_host_grid():
+    """distillation_targets' traced gather must agree with the f64 host
+    tables at every i — including the (T, N) where a traced float32
+    round(i*T/N) rounds exact-.5 the other way (e.g. N=208, 240)."""
+    from medfusion_tpu.train.distillation import student_timestep_grid
+
+    for T, N in ((1000, 208), (1000, 240), (1000, 48), (1000, 61), (250, 52)):
+        grid = student_timestep_grid(T, N)
+        i = jnp.arange(1, N + 1, dtype=jnp.int32)
+        t, t_mid, t_end = jax.jit(grid)(i)
+        i64 = np.arange(1, N + 1, dtype=np.float64)
         np.testing.assert_array_equal(
-            np.asarray(student_sample_timesteps(sched, N)),
-            sched.ddim_timesteps_host(N, spacing="trailing"),
-            err_msg=f"T={T} N={N}")
+            np.asarray(t), np.round(i64 * (T / N)).astype(np.int64) - 1)
+        np.testing.assert_array_equal(
+            np.asarray(t_mid),
+            np.round((i64 - 0.5) * (T / N)).astype(np.int64) - 1)
+        assert int(t_end[0]) == -1
+        np.testing.assert_array_equal(np.asarray(t_end[1:]),
+                                      np.asarray(t[:-1]))
 
 
 def test_next_stage_steps():
