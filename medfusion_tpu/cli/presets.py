@@ -115,10 +115,13 @@ def build_unet(p: Preset, estimator: str = "unet"):
         # hidden sized off the preset's top width, floored to a multiple of
         # 4 heads x 4 (sin-cos table needs hidden % 4 == 0)
         hidden = max(64, (p.unet_hid_chs[-1] // 16) * 16)
+        heads = max(4, hidden // 64)
+        while hidden % heads:  # heads must divide hidden (e.g. hidden=336)
+            heads -= 1
         return DiT(
             in_ch=p.emb_channels, patch_size=2, hidden_size=hidden,
             depth=max(2, len(p.unet_hid_chs) * 3),
-            num_heads=max(4, hidden // 64),
+            num_heads=heads,
             cond_emb_num_classes=p.num_classes,
         )
     if estimator == "openai":

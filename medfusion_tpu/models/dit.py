@@ -108,6 +108,7 @@ class DiTBlock(nn.Module):
     moe_experts: Optional[int] = None
     moe_num_selected: int = 2
     moe_capacity_factor: float = 1.25
+    moe_expert_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, c):
@@ -144,6 +145,7 @@ class DiTBlock(nn.Module):
                         self.moe_experts,
                         num_selected=self.moe_num_selected,
                         capacity_factor=self.moe_capacity_factor,
+                        expert_axis=self.moe_expert_axis,
                         name="moe_mlp")(h2)
         else:
             h2 = nn.Dense(int(self.hidden_size * self.mlp_ratio),
@@ -198,8 +200,16 @@ class DiT(nn.Module):
     moe_every: int = 2
     moe_num_selected: int = 2
     moe_capacity_factor: float = 1.25
+    moe_expert_axis: Optional[str] = None  # pin a2a sharding (moe.py)
 
     def setup(self):
+        if self.hidden_size % self.num_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} must be divisible by "
+                f"num_heads {self.num_heads}")
+        if self.hidden_size % 4:
+            raise ValueError("hidden_size must be divisible by 4 (the 2-D "
+                             "sin-cos pos-embed splits it in quarters)")
         self.x_embedder = nn.Dense(self.hidden_size, kernel_init=_xavier(),
                                    name="x_embedder")
         self.t_embedder = DiTTimestepEmbedder(self.hidden_size,
@@ -218,6 +228,7 @@ class DiT(nn.Module):
                                   else None),
                      moe_num_selected=self.moe_num_selected,
                      moe_capacity_factor=self.moe_capacity_factor,
+                     moe_expert_axis=self.moe_expert_axis,
                      name=f"blocks_{i}")
             for i in range(self.depth)
         ]

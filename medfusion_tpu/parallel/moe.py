@@ -48,6 +48,12 @@ class MoEMLP(nn.Module):
     capacity_factor: float = 1.25
     aux_loss_weight: float = 1e-2
     router_z_weight: float = 1e-3
+    # mesh axis to PIN the expert-major activations to (e.g. 'model'): a
+    # with_sharding_constraint on xin/h/out forces GSPMD to all-to-all the
+    # tokens rather than all-gather the sharded expert weights (which would
+    # silently defeat expert parallelism's memory scaling). None = let the
+    # compiler choose; requires an active Mesh context when set.
+    expert_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -70,8 +76,12 @@ class MoEMLP(nn.Module):
             sel_masks.append(onehot)
             sel_gates.append(jnp.sum(probs * onehot, axis=-1))  # [B, N]
             masked = masked * (1.0 - onehot)
-        denom = sum(sel_gates) + 1e-9
-        sel_gates = [g / denom for g in sel_gates]
+        if k > 1:
+            denom = sum(sel_gates) + 1e-9
+            sel_gates = [g / denom for g in sel_gates]
+        # k == 1 is Switch routing (2101.03961 §2.2): scale by the RAW
+        # router probability — normalizing the single gate to ~1.0 would cut
+        # the router off from the task-loss gradient entirely
 
         # position of each token inside its expert's capacity buffer; later
         # selection slots queue behind all earlier slots' tokens
@@ -103,27 +113,35 @@ class MoEMLP(nn.Module):
             1.0, "fan_avg", "uniform"), (e, self.mlp_dim, d))
         b2 = self.param("b2", nn.initializers.zeros, (e, d))
 
-        xin = jnp.einsum("bnec,bnd->ebcd", dispatch, x)  # all-to-all under ep
-        h = jnp.einsum("ebcd,edm->ebcm", xin, w1) + b1[:, None, None, :]
+        pin = ((lambda a: jax.lax.with_sharding_constraint(
+                    a, P(self.expert_axis)))
+               if self.expert_axis else (lambda a: a))
+        xin = pin(jnp.einsum("bnec,bnd->ebcd", dispatch, x))  # a2a under ep
+        h = pin(jnp.einsum("ebcd,edm->ebcm", xin, w1) + b1[:, None, None, :])
         h = nn.gelu(h, approximate=True)
-        out = jnp.einsum("ebcm,emd->ebcd", h, w2) + b2[:, None, None, :]
+        out = pin(jnp.einsum("ebcm,emd->ebcd", h, w2) + b2[:, None, None, :])
         y = jnp.einsum("bnec,ebcd->bnd", combine.astype(x.dtype), out)
         return y
 
 
 def moe_partition_spec(params: Any, mesh: Mesh, axis: str = "model") -> Any:
     """Expert-parallel PartitionSpecs: shard the leading (expert) dim of
-    every rank>=2 MoE parameter over ``axis``; replicate the rest (the
-    router stays tiny and replicated). Compose with
+    every rank>=2 MoE parameter over ``axis``; replicate the rest. The
+    router's Dense leaves are excluded BY PATH (its [hidden, E] kernel would
+    otherwise match the divisibility rule and shard on the input dim) — the
+    router stays tiny and replicated. Compose with
     :func:`model_partition_spec` by applying this to the MoE subtrees."""
     n = mesh.shape[axis]
-
-    def spec(leaf):
-        if n > 1 and np.ndim(leaf) >= 2 and leaf.shape[0] % n == 0:
-            return P(axis)
-        return P()
-
-    return jax.tree_util.tree_map(spec, params)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        in_router = any(getattr(pp, "key", None) == "router" for pp in path)
+        if (not in_router and n > 1 and np.ndim(leaf) >= 2
+                and leaf.shape[0] % n == 0):
+            specs.append(P(axis))
+        else:
+            specs.append(P())
+    return jax.tree_util.tree_unflatten(treedef, specs)
 
 
 def moe_aux_loss(intermediates: Any) -> jnp.ndarray:

@@ -70,6 +70,11 @@ def repaint_op_schedule(n: int, jump_length: int, resample_steps: int):
     computed on host, consumed by one ``lax.scan``."""
     if jump_length < 1 or resample_steps < 1:
         raise ValueError("jump_length and resample_steps must be >= 1")
+    if resample_steps > 1 and jump_length >= n:
+        raise ValueError(
+            f"jump_length={jump_length} >= grid length {n}: no jump point "
+            f"exists, so the requested resampling would silently not happen "
+            f"— use jump_length < steps (paper default 10 needs steps > 10)")
     ops = []
     jumps = {p: resample_steps - 1 for p in range(jump_length, n, jump_length)}
     pos = 0
@@ -143,17 +148,33 @@ class DiffusionPipeline:
     # model application helpers
     # ------------------------------------------------------------------
 
-    def _apply_estimator(self, params, x_t, t, condition, self_cond, cond_mask):
+    def _apply_estimator(self, params, x_t, t, condition, self_cond, cond_mask,
+                         with_aux: bool = False):
+        """``with_aux=True`` (training forwards only) applies with a mutable
+        'intermediates' collection and also returns the summed auxiliary
+        losses estimators sow there (MoE load-balance + router z-loss,
+        parallel/moe.py) — 0.0 for dense estimators."""
         if self.compute_dtype is not None:
             x_t = x_t.astype(self.compute_dtype)
             self_cond = None if self_cond is None else self_cond.astype(self.compute_dtype)
-        y, y_ver = self.noise_estimator.apply(
-            {"params": params["noise_estimator"]},
-            x_t, t, condition, self_cond, cond_mask,
-        )
+        if with_aux:
+            (y, y_ver), inter = self.noise_estimator.apply(
+                {"params": params["noise_estimator"]},
+                x_t, t, condition, self_cond, cond_mask,
+                mutable=["intermediates"],
+            )
+        else:
+            y, y_ver = self.noise_estimator.apply(
+                {"params": params["noise_estimator"]},
+                x_t, t, condition, self_cond, cond_mask,
+            )
         if self.compute_dtype is not None:
             y = y.astype(jnp.float32)
             y_ver = [v.astype(jnp.float32) for v in y_ver]
+        if with_aux:
+            from medfusion_tpu.parallel.moe import moe_aux_loss
+
+            return y, y_ver, moe_aux_loss(inter).astype(jnp.float32)
         return y, y_ver
 
     def encode_latent(self, params, x, rng):
@@ -245,8 +266,8 @@ class DiffusionPipeline:
             drop = jax.random.uniform(k_cfg, ()) < self.classifier_free_guidance_dropout
             cond_mask = jnp.where(drop, 0.0, 1.0) * jnp.ones((b,), x_0.dtype)
 
-        pred, pred_vertical = self._apply_estimator(
-            params, x_t, t, condition, self_cond, cond_mask
+        pred, pred_vertical, moe_aux = self._apply_estimator(
+            params, x_t, t, condition, self_cond, cond_mask, with_aux=True
         )
         pred_var = None
         if self.estimate_variance:
@@ -307,6 +328,12 @@ class DiffusionPipeline:
         for i, pred_i in enumerate(pred_vertical):
             target_i = interpolate_area(target, pred_i.shape[1:-1])
             loss = loss + loss_fct(pred_i, target_i) * weights[i + 1]
+
+        # MoE router auxiliary losses (already weighted inside the layer;
+        # 0.0 for dense estimators) — without this the router receives no
+        # load-balancing gradient and routing collapses
+        loss = loss + moe_aux
+        metrics["moe_aux"] = moe_aux
 
         metrics["loss"] = loss
         metrics["L1"] = _l1(pred, target)
@@ -1111,6 +1138,11 @@ class DiffusionPipeline:
         ``x_0`` is a latent in the sampler's working space (see
         :meth:`sample_inpaint`). Predictions are NOT x0-clipped here —
         clipping breaks invertibility. One ``lax.scan``, jit-safe."""
+        if self.use_self_conditioning:
+            # denoise() carries the x0-estimate as self_cond; evaluating the
+            # inversion with self_cond=None would use systematically
+            # different predictions and break the round-trip silently
+            raise ValueError("invert: self-conditioned pipelines unsupported")
         sched = self.scheduler
         n = sched.timesteps if steps is None else steps
         ts = sched.ddim_timesteps(n, spacing=timestep_spacing)  # ascending

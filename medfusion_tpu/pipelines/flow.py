@@ -141,11 +141,12 @@ class FlowMatchingPipeline:
                     < self.classifier_free_guidance_dropout)
             cond_mask = jnp.where(drop, 0.0, 1.0) * jnp.ones((b,), x_0.dtype)
 
-        pred, pred_vertical = self._apply_estimator(
-            params, x_t, t * self.time_scale, condition, None, cond_mask)
+        pred, pred_vertical, moe_aux = self._apply_estimator(
+            params, x_t, t * self.time_scale, condition, None, cond_mask,
+            with_aux=True)
 
         elt = _ELT_LOSSES[self.loss]
-        loss = jnp.mean(elt(pred, target))
+        loss = jnp.mean(elt(pred, target)) + moe_aux
         # deep-supervision heads are meaningless for a velocity target at
         # reduced resolution only in principle — keep the pyramid consistent
         # with the diffusion family (1/2^i weights) if the estimator has them
@@ -160,7 +161,8 @@ class FlowMatchingPipeline:
                 loss = loss + jnp.mean(elt(pred_i, target_i)) * weights[i + 1]
 
         metrics = {"loss": loss,
-                   "L2": jnp.mean((pred - target) ** 2)}
+                   "L2": jnp.mean((pred - target) ** 2),
+                   "moe_aux": moe_aux}
         return loss, metrics
 
     # ------------------------------------------------------------------

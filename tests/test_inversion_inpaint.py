@@ -170,7 +170,7 @@ def test_repaint_op_schedule_structure():
     times)."""
     from medfusion_tpu.pipelines.diffusion import repaint_op_schedule
 
-    for n, j, r in [(10, 2, 3), (12, 4, 2), (7, 3, 4), (5, 1, 1), (6, 10, 5)]:
+    for n, j, r in [(10, 2, 3), (12, 4, 2), (7, 3, 4), (5, 1, 1)]:
         ops = repaint_op_schedule(n, j, r)
         assert ops[0][0] == 0 and ops[-1][1] == n
         for (f1, t1), (f2, _) in zip(ops, ops[1:]):
@@ -182,6 +182,11 @@ def test_repaint_op_schedule_structure():
         assert len(ops) - n_fwd == n + j * (r - 1) * n_jump_points
     with pytest.raises(ValueError, match="must be >= 1"):
         repaint_op_schedule(10, 0, 2)
+    # jump_length >= n with resampling requested: no jump point would exist
+    # and the resampling would silently not happen — rejected instead
+    with pytest.raises(ValueError, match="no jump point"):
+        repaint_op_schedule(6, 10, 5)
+    assert len(repaint_op_schedule(6, 10, 1)) == 6  # plain descent is fine
 
 
 @pytest.mark.parametrize("eta", [0.0, 1.0])

@@ -36,7 +36,10 @@ def _oracle(x, params, k):
             pr = np.exp(logits - logits.max())
             pr /= pr.sum()
             top = np.argsort(-pr)[:k]
-            g = pr[top] / pr[top].sum()
+            # k=1 is Switch routing: RAW router prob scales the output
+            # (that is where the router's task gradient comes from); k>=2
+            # renormalizes over the selected set (GShard)
+            g = pr[top] if k == 1 else pr[top] / pr[top].sum()
             for gi, e in zip(g, top):
                 h = _gelu(tok @ w1[e] + b1[e])
                 out[b, n] += gi * (h @ w2[e] + b2[e])
@@ -98,6 +101,9 @@ def test_moe_expert_parallel_matches_single_device():
     specs = moe_partition_spec(params, mesh)
     leaves = jax.tree_util.tree_leaves(specs, is_leaf=lambda s: isinstance(s, P))
     assert any(len(s) and s[0] == "model" for s in leaves), "no expert dim sharded"
+    # the router must stay replicated even when its [hidden, E] kernel's
+    # input dim happens to divide the axis size
+    assert specs["router"]["kernel"] == P()
     params_ep = jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs)
 
@@ -141,3 +147,53 @@ def test_dit_moe_blocks():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["blocks_1"]["moe_mlp"]["w1"]).max()) > 0
+
+
+def test_switch_router_gets_task_gradient():
+    """k=1 (Switch) scales by the RAW router prob: the router kernel must
+    receive a task-loss gradient (the old renormalize-to-1.0 cut it off)."""
+    m = MoEMLP(hidden_size=8, mlp_dim=16, num_experts=4, num_selected=1,
+               capacity_factor=8.0)
+    x = jax.random.normal(KEY, (2, 6, 8))
+    params = m.init(KEY, x)["params"]
+
+    def task_loss(p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)  # no aux here
+
+    g = jax.grad(task_loss)(params)
+    assert float(jnp.abs(g["router"]["kernel"]).max()) > 1e-6
+
+
+def test_train_step_consumes_moe_aux():
+    """The standard diffusion AND flow train steps must fold the sown MoE
+    aux losses into the loss (metrics['moe_aux'] > 0) and give the router a
+    balancing gradient — a silent no-op sow would collapse routing."""
+    import optax
+
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+    from medfusion_tpu.models.dit import DiT
+    from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+    from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
+    from medfusion_tpu.train import TrainState, make_diffusion_train_step
+
+    dit = DiT(in_ch=1, patch_size=2, hidden_size=32, depth=2, num_heads=4,
+              moe_experts=4, moe_every=2)
+    x = jax.random.normal(KEY, (2, 8, 8, 1))
+    params = dit.init(KEY, x, jnp.zeros((2,), jnp.int32))["params"]
+    sched = GaussianDiffusionSchedule.create(timesteps=10)
+    for pipe in (
+        DiffusionPipeline(scheduler=sched, noise_estimator=dit,
+                          do_input_centering=False, clip_x0=False),
+        FlowMatchingPipeline(noise_estimator=dit, do_input_centering=False),
+    ):
+        state = TrainState.create(params, optax.adam(1e-3))
+        step = make_diffusion_train_step(pipe, donate=False)
+        state, metrics = step(state, None, {"source": x}, KEY)
+        assert float(metrics["moe_aux"]) > 0, type(pipe).__name__
+        assert np.isfinite(float(metrics["loss"]))
+        # router receives the balancing gradient through the train step
+        loss_fn = lambda p: pipe.train_loss(
+            {"noise_estimator": p}, {"source": x}, KEY)[0]
+        g = jax.grad(loss_fn)(params)
+        assert float(jnp.abs(
+            g["blocks_1"]["moe_mlp"]["router"]["kernel"]).max()) > 0
