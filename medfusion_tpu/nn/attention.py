@@ -45,9 +45,9 @@ def compute_attention(q, k, v, num_heads: int, scale: float):
     if ops.flash_attention_enabled():
         out = ops.flash_attention(q, k, v, scale)
     else:
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale)
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        from medfusion_tpu.ops.flash_attention import naive_attention
+
+        out = naive_attention(q, k, v, scale)
     return rearrange(out, "b h n d -> b n (h d)")
 
 

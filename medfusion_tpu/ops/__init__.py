@@ -36,13 +36,8 @@ def flash_attention(q, k, v, scale):
     on-chip than the kernel (PARITY.md "attention-enabled program"), so short
     sequences take the naive path. Call the kernel module directly to force
     the flash recurrence regardless of length (the tests do)."""
-    import jax.nn
-    import jax.numpy as jnp
-
     if k.shape[2] < _MIN_KV_TOKENS:
-        sm = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1)
-        return jnp.einsum("bhnm,bhmd->bhnd", sm, v)
+        return _NAIVE(q, k, v, scale)
     return _FA_IMPL(q, k, v, scale)
 
 
@@ -56,6 +51,7 @@ _FLASH_WRAPPER = flash_attention
 from medfusion_tpu.ops.flash_attention import (  # noqa: E402
     MIN_KV_TOKENS as _MIN_KV_TOKENS,
     flash_attention as _FA_IMPL,
+    naive_attention as _NAIVE,
 )
 
 flash_attention = _FLASH_WRAPPER

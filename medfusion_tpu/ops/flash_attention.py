@@ -223,6 +223,17 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def naive_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """Reference XLA attention with the double-scale convention
+    ((q*scale)·(k*scale), attention_blocks.py:35-43) — the ONE definition
+    shared by the kernel's non-dividing-shape fallback, the short-sequence
+    dispatch in the ops wrapper, and the flash-disabled module path."""
+    sm = jax.nn.softmax(
+        jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", sm, v)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
@@ -247,11 +258,11 @@ def flash_attention(
     m = k.shape[2]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
-    if n % block_q or m % block_k:
-        sm = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale), axis=-1
-        )
-        return jnp.einsum("bhnm,bhmd->bhnd", sm, v)
+    # fall back when the blocking doesn't divide OR the KV side is tiny
+    # (m < 8 — e.g. single-embedding-token cross attention — would run the
+    # Mosaic kernel with a sub-sublane [BQ, m] tile for no possible gain)
+    if n % block_q or m % block_k or m < 8:
+        return naive_attention(q, k, v, scale)
     interpret = interpret or jax.default_backend() == "cpu"  # no Mosaic on CPU
 
     qf = q.reshape(b * h, n, d)

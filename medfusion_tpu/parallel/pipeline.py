@@ -23,6 +23,7 @@ microbatch dims untouched.
 
 from __future__ import annotations
 
+import inspect
 from functools import partial
 from typing import Any, Callable, Sequence
 
@@ -34,6 +35,15 @@ try:  # jax >= 0.8
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
+
+# pass check_vma=False only where the kwarg exists (newer jax) — passing it
+# unconditionally would TypeError on exactly the old versions the import
+# fallbacks above exist for
+try:
+    _SHARD_MAP_KW = ({"check_vma": False} if "check_vma" in
+                     inspect.signature(shard_map).parameters else {})
+except (TypeError, ValueError):  # pragma: no cover - exotic wrappers
+    _SHARD_MAP_KW = {}
 
 try:  # mark a replicated value as device-varying (shard_map vma typing)
     from jax.lax import pcast as _pcast
@@ -105,7 +115,7 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), x_spec), out_specs=x_spec,
-             check_vma=False)
+             **_SHARD_MAP_KW)
     def run(p_stacked, xm):
         p_local = jax.tree_util.tree_map(lambda v: v[0], p_stacked)
         stage_id = jax.lax.axis_index(axis)
@@ -113,25 +123,40 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         is_last = (stage_id == n_stages - 1)
         fwd = [(i, i + 1) for i in range(n_stages - 1)]
 
-        act0 = _mark_varying(jnp.zeros_like(xm[0]), axis, p_local)
+        # bootstrap with a REAL microbatch, not zeros: fill/drain ticks run
+        # stage_fn on this carry, and an all-zeros activation is exactly the
+        # out-of-distribution input that turns normalizing stages into
+        # NaN factories (mean(x^2)=0 denominators, sqrt'(0)=inf in the vjp)
+        act0 = _mark_varying(xm[0], axis, p_local)
         out0 = _mark_varying(jnp.zeros_like(xm), axis, p_local)
         x_mb_local = xm
 
-        def tick(carry, t):
-            act, out = carry
+        def compute(act, out, t):
             idx = t - stage_id  # microbatch this stage works on now
             inp = jnp.where(is_first,
                             x_mb_local[jnp.clip(t, 0, n_micro - 1)], act)
             y = stage_fn(p_local, inp)
             valid = jnp.logical_and(idx >= 0, idx < n_micro)
-            take = jnp.logical_and(valid, is_last).astype(y.dtype)
-            out = out.at[jnp.clip(idx, 0, n_micro - 1)].add(y * take)
+            take = jnp.logical_and(valid, is_last)
+            # where(), NOT y * mask: 0 * NaN = NaN would let a garbage tick
+            # poison the output (and its vjp injects an exact-zero cotangent
+            # into garbage ticks, keeping the backward finite too)
+            out = out.at[jnp.clip(idx, 0, n_micro - 1)].add(
+                jnp.where(take, y, jnp.zeros_like(y)))
+            return y, out
+
+        def tick(carry, t):
+            act, out = carry
+            y, out = compute(act, out, t)
             # push to the next stage (last stage's output leaves the ring)
             act = jax.lax.ppermute(y, axis, perm=fwd)
             return (act, out), None
 
-        (_, out), _ = jax.lax.scan(
-            tick, (act0, out0), jnp.arange(n_micro + n_stages - 1))
+        ticks = jnp.arange(n_micro + n_stages - 1)
+        (act, out), _ = jax.lax.scan(tick, (act0, out0), ticks[:-1])
+        # final tick: compute only — a trailing ppermute would be one wasted
+        # full-activation ICI exchange nobody consumes
+        _, out = compute(act, out, ticks[-1])
         # only the last stage holds real data -> psum replicates the result
         return jax.lax.psum(out, axis)
 

@@ -48,8 +48,7 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
     l0 = jnp.zeros_like(qs[..., 0])  # [B, H, n_loc]
     m0 = jnp.zeros_like(qs[..., 0]) - jnp.inf
 
-    def body(_, carry):
-        k_cur, v_cur, m, l, acc = carry
+    def accumulate(k_cur, v_cur, m, l, acc):
         s = jnp.einsum("bhnd,bhmd->bhnm", qs, (k_cur * scale).astype(jnp.float32))
         m_blk = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m, m_blk)
@@ -58,11 +57,21 @@ def _ring_attention_local(q, k, v, scale: float, axis_name: str):
         l = l * corr + jnp.sum(p, axis=-1)
         acc = acc * corr[..., None] + jnp.einsum(
             "bhnm,bhmd->bhnd", p, v_cur.astype(jnp.float32))
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return k_nxt, v_nxt, m_new, l, acc
+        return m_new, l, acc
 
-    _, _, _, l, acc = jax.lax.fori_loop(0, n_dev, body, (k, v, m0, l0, acc0))
+    # held block first, THEN rotate-and-accumulate n_dev-1 times — rotating
+    # inside every iteration would issue one extra K/V neighbor exchange
+    # whose result is never consumed (XLA cannot elide a collective)
+    m, l, acc = accumulate(k, v, m0, l0, acc0)
+
+    def body(_, carry):
+        k_cur, v_cur, m, l, acc = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        m, l, acc = accumulate(k_cur, v_cur, m, l, acc)
+        return k_cur, v_cur, m, l, acc
+
+    _, _, _, l, acc = jax.lax.fori_loop(0, n_dev - 1, body, (k, v, m, l, acc))
     return (acc / l[..., None]).astype(q.dtype)
 
 
@@ -74,13 +83,18 @@ def ring_attention(q, k, v, mesh: Mesh, scale: float, axis: str = "data"):
     attention_blocks.py:35-43). Returns [B, H, N, D], token-sharded.
     """
     spec = P(None, None, axis, None)
-    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-    try:
-        fn = shard_map(partial(_ring_attention_local, scale=scale,
-                               axis_name=axis), **kwargs)
-    except TypeError:  # pragma: no cover - older jax requires check_rep=False
-        fn = shard_map(partial(_ring_attention_local, scale=scale,
-                               axis_name=axis), check_rep=False, **kwargs)
+    # relax the replication/vma check under whichever kwarg this jax spells
+    # it as (a dead try/except around CONSTRUCTION never catches anything:
+    # old jax fails at call time, not at shard_map construction)
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    extra = ({"check_vma": False} if "check_vma" in params else
+             {"check_rep": False} if "check_rep" in params else {})
+    fn = shard_map(partial(_ring_attention_local, scale=scale,
+                           axis_name=axis),
+                   mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                   **extra)
     q = jax.device_put(q, NamedSharding(mesh, spec))
     k = jax.device_put(k, NamedSharding(mesh, spec))
     v = jax.device_put(v, NamedSharding(mesh, spec))

@@ -109,3 +109,52 @@ def test_pipeline_rejects_bad_microbatching():
     x = jnp.zeros((6, 8), jnp.float32)
     with pytest.raises(ValueError):
         pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model")
+
+
+def test_pipeline_normalizing_stage_no_nan_poisoning():
+    """Regression: fill/drain ticks run stage_fn on bootstrap activations; a
+    zeros bootstrap turned RMS-normalizing stages (mean(x^2)=0 denominator,
+    sqrt'(0)=inf in the vjp) into NaN factories that poisoned the output
+    through the old multiply-masking. Forward AND parameter gradients must
+    match the sequential composition NaN-free."""
+    mesh = make_mesh(n_data=2, n_model=4)
+
+    def rms_stage(p, x):
+        # per-sample RMS norm (microbatch-invariant), deliberately NO eps:
+        # on the old zeros bootstrap mean(h^2)=0 => 0/0 and sqrt'(0)=inf
+        h = x @ p["w"]
+        return h / jnp.sqrt(jnp.mean(h ** 2, axis=-1, keepdims=True))
+
+    rng = np.random.default_rng(3)
+    stages = [{"w": jnp.asarray(rng.standard_normal((16, 16)) / 4.0,
+                                jnp.float32)} for _ in range(4)]
+    x = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh)
+
+    y = pipeline_apply(rms_stage, stacked, x, mesh=mesh, axis="model",
+                       data_axis="data")
+    y_ref = x
+    for p in stages:
+        y_ref = rms_stage(p, y_ref)
+    assert np.all(np.isfinite(np.asarray(y)))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss_pp(stacked):
+        return jnp.sum(pipeline_apply(rms_stage, stacked, x, mesh=mesh,
+                                      axis="model", data_axis="data") ** 2)
+
+    def loss_seq(stages):
+        h = x
+        for p in stages:
+            h = rms_stage(p, h)
+        return jnp.sum(h ** 2)
+
+    g_pp = jax.grad(loss_pp)(stack_stage_params(stages))
+    g_seq = stack_stage_params(
+        [g for g in jax.grad(loss_seq)(stages)])
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_seq)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
