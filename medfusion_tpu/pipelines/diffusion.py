@@ -150,14 +150,18 @@ class DiffusionPipeline:
 
     def _apply_estimator(self, params, x_t, t, condition, self_cond, cond_mask,
                          with_aux: bool = False):
-        """``with_aux=True`` (training forwards only) applies with a mutable
-        'intermediates' collection and also returns the summed auxiliary
-        losses estimators sow there (MoE load-balance + router z-loss,
-        parallel/moe.py) — 0.0 for dense estimators."""
+        """``with_aux=True`` (training forwards only) also returns the summed
+        auxiliary losses the estimator sows under 'intermediates' (MoE
+        load-balance + router z-loss, parallel/moe.py) — 0.0 for dense
+        estimators and for duck-typed estimators (test oracles, plain
+        callables) that lack flax's mutable protocol."""
         if self.compute_dtype is not None:
             x_t = x_t.astype(self.compute_dtype)
             self_cond = None if self_cond is None else self_cond.astype(self.compute_dtype)
-        if with_aux:
+        import flax.linen as _nn
+
+        inter = {}
+        if with_aux and isinstance(self.noise_estimator, _nn.Module):
             (y, y_ver), inter = self.noise_estimator.apply(
                 {"params": params["noise_estimator"]},
                 x_t, t, condition, self_cond, cond_mask,
