@@ -243,7 +243,8 @@ def main(argv=None):
         stages = ct_curriculum_grid(args.iters_per_stage, args.ct_s0,
                                     args.ct_s1, args.ct_doublings)
         stage_dir = out / "consistency_training"
-        state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
+        state = TrainState.create(teacher, optax.adamw(lr, weight_decay=1e-2),
+                                  use_ema=args.cd_ema)
         batches = _latent_batches(dm, p, encode, key, want_uncond=False)
         cur = {"n": None, "fn": None}
 
@@ -275,7 +276,8 @@ def main(argv=None):
             huber_c=args.cd_huber,
             teacher_guidance_scale=args.teacher_guidance,
             compute_dtype=jnp.bfloat16 if args.bf16 else None)
-        state = TrainState.create(teacher, optax.adamw(lr), use_ema=args.cd_ema)
+        state = TrainState.create(teacher, optax.adamw(lr, weight_decay=1e-2),
+                                  use_ema=args.cd_ema)
         batches = _latent_batches(dm, p, encode, key,
                                   want_uncond=args.teacher_guidance != 1.0)
         _run_stage(state,
@@ -298,7 +300,7 @@ def main(argv=None):
             pipe, student_steps=n, donate=False,
             compute_dtype=jnp.bfloat16 if args.bf16 else None,
             teacher_guidance_scale=tg)
-        state = TrainState.create(teacher, optax.adamw(lr))
+        state = TrainState.create(teacher, optax.adamw(lr, weight_decay=1e-2))
         print(f"--- stage {stage_idx}: distilling to {n}-step student ---")
         batches = _latent_batches(dm, p, encode,
                                   jax.random.fold_in(key, stage_idx),
@@ -395,7 +397,7 @@ def _reflow(args, p, unet, vae, out, key, batch_size):
         stage_dir = out / phase
         step_fn = make_reflow_train_step(pipe, distill_t=distill_t,
                                          compute_dtype=dtype)
-        state = TrainState.create(student, optax.adamw(lr))
+        state = TrainState.create(student, optax.adamw(lr, weight_decay=1e-2))
         # the first phase's pool comes from the ORIGINAL teacher (guided if
         # --teacher-guidance); student-sourced pools (--regen-every
         # k-rectification, and the 1-step phase) are NEVER guided — the

@@ -64,6 +64,8 @@ def main(argv=None):
     ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable donate_argnums on the train state")
     ap.add_argument("--auto-restart", type=int, default=0, metavar="N",
                     help="supervise training: on a crash, restart up to N "
                          "times, restoring from the latest checkpoint")
@@ -137,7 +139,8 @@ def _train(args, resume: bool):
                                   total_steps=args.max_steps)
         state = GANTrainState.create(vae_params, disc_params,
                                      optax.adam(gan_lr), optax.adam(gan_lr))
-        step_fn = make_adversarial_train_step(trainer, donate=False)
+        step_fn = make_adversarial_train_step(trainer,
+                                              donate=not args.no_donate)
     else:
         from medfusion_tpu.train.lr_schedules import make_lr_schedule
 
@@ -145,7 +148,8 @@ def _train(args, resume: bool):
                               warmup_steps=args.warmup_steps,
                               total_steps=args.max_steps)
         state = TrainState.create(vae_params, optax.adam(lr))
-        step_fn = make_autoencoder_train_step(ae_trainer, donate=False)
+        step_fn = make_autoencoder_train_step(ae_trainer,
+                                              donate=not args.no_donate)
 
     ckpt_dir = out / "checkpoints"
     step = 0
@@ -155,7 +159,9 @@ def _train(args, resume: bool):
         print(f"resumed from step {step}")
 
     t0 = time.time()
-    epoch = 0
+    # continue the epoch stream where the run left off (epoch seeds the
+    # shuffle; restarting at 0 replays early-epoch batch order on recovery)
+    epoch = (step * batch_size) // max(1, len(ds))
     while step < args.max_steps:
         for batch in dm.train_dataloader(epoch=epoch):
             batch = {"source": jax.device_put(batch["source"])}
@@ -168,7 +174,8 @@ def _train(args, resume: bool):
             if step % args.ckpt_every == 0 or step == args.max_steps:
                 C.save_checkpoint(ckpt_dir, state, step,
                                   config=dataclasses.asdict(p), keep_top_k=5)
-                C.save_best_checkpoint(ckpt_dir, step, float(metrics["L1"]))
+                C.save_best_checkpoint(ckpt_dir, step, float(metrics["L1"]),
+                                       state=state)
             if args.sample_every and step % args.sample_every == 0:
                 params = state.gen.params if args.gan else state.params
                 pred, _, _ = vae.apply({"params": params}, batch["source"],

@@ -110,7 +110,8 @@ def main(argv=None):
             if step % args.ckpt_every == 0 or step == args.max_steps:
                 C.save_checkpoint(ckpt_dir, state, step,
                                   config=dataclasses.asdict(p), keep_top_k=2)
-                C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]))
+                C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]),
+                                       state=state)
             if step >= args.max_steps:
                 break
         epoch += 1

@@ -49,10 +49,9 @@ def load_vae_params(vae, preset, ckpt_path, key):
         from medfusion_tpu.utils.torch_compat import convert_state_dict, load_torch_checkpoint
 
         return convert_state_dict(load_torch_checkpoint(str(ckpt_path)))
-    from medfusion_tpu.train import TrainState as TS
-
-    template = TS.create(params, optax.adam(1e-4))
-    return C.restore_checkpoint(ckpt_path, template).params
+    # layout-aware (plain TrainState or GAN run) and LOUD on mismatch — a
+    # silent fallback here would train diffusion on a random VAE's latents
+    return C.restore_ae_params(ckpt_path, params)
 
 
 def main(argv=None):
@@ -151,6 +150,10 @@ def _train(args, resume: bool):
             raise SystemExit("--zero-terminal-snr/--min-snr-gamma are "
                              "diffusion-schedule options; the flow family "
                              "has no schedule")
+        if args.objective != "x_T":
+            raise SystemExit("--objective selects a diffusion "
+                             "parameterization; the flow family always "
+                             "trains the velocity objective")
         from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
 
         pipe = FlowMatchingPipeline(
@@ -183,7 +186,11 @@ def _train(args, resume: bool):
     lr = make_lr_schedule(args.lr_schedule, p.diffusion_lr,
                           warmup_steps=args.warmup_steps,
                           total_steps=args.max_steps)
-    state = TrainState.create(unet_params, optax.adamw(lr), use_ema=args.use_ema)
+    # weight_decay=0.01 matches torch.optim.AdamW's default (the reference's
+    # configure_optimizers, diffusion_pipeline.py:37-38); optax's default is
+    # 1e-4 — 100x weaker, a silent parity divergence
+    state = TrainState.create(unet_params, optax.adamw(lr, weight_decay=1e-2),
+                              use_ema=args.use_ema)
     # donate=True buys memory headroom (in-place state update); re-validated
     # working on the axon tunnel in round 2 (was InvalidArgument in round 1).
     step_fn = make_diffusion_train_step(
@@ -206,10 +213,29 @@ def _train(args, resume: bool):
 
     ckpt_dir = out / "checkpoints"
     if resume and C.latest_step(ckpt_dir) is not None:
+        cfg_file = ckpt_dir / C.CONFIG_FILE
+        if cfg_file.exists():
+            import json as _json
+
+            saved = _json.loads(cfg_file.read_text())
+            for k, now in (("use_ema", args.use_ema),
+                           ("family", args.family),
+                           ("objective", args.objective)):
+                if k in saved and saved[k] != now:
+                    # a silent mismatch either DROPS the trained EMA or
+                    # seeds it with this process's random init
+                    raise SystemExit(
+                        f"--resume config mismatch: the run was trained "
+                        f"with {k}={saved[k]!r}, this invocation has "
+                        f"{now!r}")
         state = C.restore_checkpoint(ckpt_dir, state)
         print(f"resumed from step {C.latest_step(ckpt_dir)}")
 
-    step, epoch, t_start = int(state.step), 0, time.time()
+    # continue the epoch stream where the run left off (epoch seeds the
+    # shuffle; restarting at 0 would replay the early-epoch batch order on
+    # every --auto-restart recovery)
+    step, t_start = int(state.step), time.time()
+    epoch = (step * batch_size) // max(1, len(ds))
     while step < args.max_steps:
         for batch in dm.train_dataloader(epoch=epoch):
             dev_batch = {"source": jax.device_put(batch["source"])}
@@ -224,8 +250,13 @@ def _train(args, resume: bool):
                       f"({(time.time() - t_start):.1f}s)")
             if step % args.ckpt_every == 0 or step == args.max_steps:
                 C.save_checkpoint(ckpt_dir, state, step,
-                                  config=dataclasses.asdict(p), keep_top_k=2)
-                C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]))
+                                  config={**dataclasses.asdict(p),
+                                          "use_ema": args.use_ema,
+                                          "family": args.family,
+                                          "objective": args.objective},
+                                  keep_top_k=2)
+                C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]),
+                                       state=state)
             if args.sample_every and step % args.sample_every == 0:
                 params = {"noise_estimator": state.inference_params,
                           "latent_embedder": vae_params}

@@ -29,11 +29,17 @@ class TrainState:
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation, use_ema: bool = False,
                ema_kwargs: Optional[dict] = None) -> "TrainState":
+        import jax
+
+        # DEEP-copied EMA buffers: aliasing `params` would make a donated
+        # train step (donate_argnums over the state) donate the same buffer
+        # twice — "Attempt to donate the same buffer twice" on step 1
+        ema = (jax.tree_util.tree_map(jnp.copy, params) if use_ema else None)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=params if use_ema else None,
+            ema_params=ema,
             tx=tx,
             ema_kwargs=dict(ema_kwargs or {}),
         )

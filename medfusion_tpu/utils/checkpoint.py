@@ -115,11 +115,70 @@ def restore_checkpoint(ckpt_dir, template: Any, step: Optional[int] = None) -> A
         else:
             leaves.append(rv)
     if new_fields:
+        if len(new_fields) == len(flat):
+            # nothing on disk matched: this is a WRONG template (e.g. a
+            # plain TrainState against a GAN run), not an old checkpoint —
+            # returning the template would silently hand back random weights
+            raise ValueError(
+                f"checkpoint under {ckpt_dir} shares no leaf paths with the "
+                f"template (saved keys e.g. {sorted(raw_flat)[:3]}); wrong "
+                f"state type? (GAN runs save GANTrainState — for AE weights "
+                f"use restore_ae_params)")
         print(f"restore_checkpoint: kept template values for fields not in the "
               f"checkpoint: {new_fields[:5]}{'...' if len(new_fields) > 5 else ''}")
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
     )
+
+
+def restore_ae_params(ckpt_dir, template_params: Any,
+                      step: Optional[int] = None) -> Any:
+    """Autoencoder PARAMS from a run dir of either layout: a plain
+    ``TrainState`` run (``params/...``) or a GAN run (``GANTrainState``:
+    ``gen/params/...``). Validates every leaf path+shape against
+    ``template_params`` and RAISES on mismatch — a silent fallback here
+    would hand a random VAE to the diffusion stage."""
+    with _manager(Path(ckpt_dir)) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        raw = mgr.restore(step)
+    candidates = []
+    if isinstance(raw, dict):
+        if "params" in raw:
+            candidates.append(("params", raw["params"]))
+        gen = raw.get("gen")
+        if isinstance(gen, dict) and "params" in gen:
+            candidates.append(("gen/params", gen["params"]))
+    t_flat = jax.tree_util.tree_flatten_with_path(template_params)[0]
+    errors = []
+    for name, sub in candidates:
+        s_flat = {_path_str(kp): v
+                  for kp, v in jax.tree_util.tree_flatten_with_path(sub)[0]}
+        leaves, bad = [], None
+        for kp, tv in t_flat:
+            path = _path_str(kp)
+            rv = s_flat.get(path)
+            if rv is None:
+                bad = f"{name}: missing {path}"
+                break
+            if np.shape(rv) != np.shape(tv):
+                bad = (f"{name}: shape mismatch at {path} "
+                       f"{np.shape(rv)} vs {np.shape(tv)}")
+                break
+            leaves.append(rv)
+        if bad is None and len(s_flat) == len(t_flat):
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template_params), leaves)
+        errors.append(bad or f"{name}: {len(s_flat)} leaves vs "
+                             f"template {len(t_flat)}")
+    detail = "; ".join(e for e in errors if e) or \
+        "checkpoint has neither params nor gen/params"
+    checked = ", ".join(n for n, _ in candidates) or "nothing"
+    raise ValueError(
+        f"no AE params in {ckpt_dir} match the model template "
+        f"(checked {checked}): {detail} — wrong --model family or wrong "
+        f"run dir?")
 
 
 def latest_step(ckpt_dir) -> Optional[int]:
@@ -130,9 +189,23 @@ def latest_step(ckpt_dir) -> Optional[int]:
         return None
 
 
-def save_best_checkpoint(ckpt_dir, step: int, metric: float, minimize: bool = True) -> bool:
+def _best_dir(ckpt_dir) -> Path:
+    """Sibling directory persisting the best state (NOT nested inside the
+    step manager's dir — orbax scans it for integer step names)."""
+    p = Path(ckpt_dir)
+    return p.with_name(p.name + "_best")
+
+
+def save_best_checkpoint(ckpt_dir, step: int, metric: float,
+                         minimize: bool = True, state: Any = None) -> bool:
     """Update the best-pointer if ``metric`` improves (model_base.py:51-61).
-    Returns True when the pointer moved."""
+    Returns True when the pointer moved.
+
+    Pass ``state`` to ALSO persist the improving state into a sibling
+    ``<ckpt_dir>_best`` store (keep 1): the main manager's ``keep_top_k``
+    keeps the LATEST N steps (the reference's ModelCheckpoint keeps the
+    best-by-metric), so the pointed-at step is otherwise garbage-collected
+    once training moves on and the pointer dangles."""
     path = Path(ckpt_dir) / BEST_FILE
     best = None
     if path.exists():
@@ -145,13 +218,21 @@ def save_best_checkpoint(ckpt_dir, step: int, metric: float, minimize: bool = Tr
     if improved:
         path.write_text(json.dumps({"step": step, "metric": float(metric),
                                     "minimize": minimize}))
+        if state is not None:
+            save_checkpoint(_best_dir(ckpt_dir), state, step, keep_top_k=1)
     return improved
 
 
 def load_best_checkpoint(ckpt_dir, template: Any) -> Any:
-    """Restore the step named by the best-pointer (model_base.py:63-66)."""
+    """Restore the step named by the best-pointer (model_base.py:63-66).
+    Falls back to the sibling best-store when the main manager has already
+    garbage-collected that step (keep_top_k keeps the latest N)."""
     pointer = json.loads((Path(ckpt_dir) / BEST_FILE).read_text())
-    return restore_checkpoint(ckpt_dir, template, step=pointer["step"])
+    try:
+        return restore_checkpoint(ckpt_dir, template, step=pointer["step"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return restore_checkpoint(_best_dir(ckpt_dir), template,
+                                  step=pointer["step"])
 
 
 def filter_weights(source: Any, target: Any, path_regex: Optional[str] = None) -> Any:

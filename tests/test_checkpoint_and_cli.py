@@ -118,6 +118,18 @@ def test_extract_vae_roundtrip_into_sample(tmp_path):
     assert (s_out / "sample_cond_0.png").exists()
     assert (s_out / "sample_diff.png").exists()
 
+    # load_vae_params reads the GAN run DIRECTLY (gen/params layout) —
+    # the old plain-TrainState template silently handed back RANDOM weights
+    from medfusion_tpu.cli.train_diffusion import load_vae_params
+
+    loaded = load_vae_params(vae, p, str(gan_dir), key)
+    for a, b in zip(jax.tree_util.tree_leaves(gan_state.gen.params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and a template that matches NOTHING raises instead of going random
+    with pytest.raises(ValueError, match="no AE params"):
+        C.restore_ae_params(gan_dir, {"not_a_vae": np.zeros((3,))})
+
 
 @pytest.mark.slow
 def test_cli_train_and_eval_smoke(tmp_path, monkeypatch):

@@ -236,6 +236,11 @@ def test_flow_cli_rejects_schedule_flags(tmp_path):
             "--preset", "smoke", "--family", "flow", "--zero-terminal-snr",
             "--max-steps", "1", "--out", str(tmp_path / "x"),
         ])
+    with pytest.raises(SystemExit):
+        train_diffusion.main([
+            "--preset", "smoke", "--family", "flow", "--objective", "v",
+            "--max-steps", "1", "--out", str(tmp_path / "x"),
+        ])
     # sample CLI rejects (not silently ignores) diffusion-schedule flags
     for bad in (["--zero-terminal-snr"], ["--guidance-rescale", "0.7"],
                 ["--timestep-spacing", "trailing"], ["--objective", "v"]):
