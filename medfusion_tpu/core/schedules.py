@@ -104,6 +104,16 @@ class GaussianDiffusionSchedule:
         zero_terminal_snr: bool = False,
     ) -> "GaussianDiffusionSchedule":
         T = timesteps if T is None else T
+        if T != timesteps:
+            # the signature mirrors the reference ctor (scheduler_base.py:12
+            # takes independent timesteps/T) but every buffer here — and in
+            # the reference's shipped configs — is a length-`timesteps` table
+            # indexed by t in [0, T): with T != timesteps the gathers clamp
+            # SILENTLY under jit and sigma_to_t_frac shape-errors
+            raise ValueError(
+                f"T={T} != timesteps={timesteps} is unsupported: the noise "
+                f"tables are indexed by t directly (every reference config "
+                f"uses T == timesteps)")
         b = _make_betas(timesteps, schedule_strategy, beta_start, beta_end, betas)
         if zero_terminal_snr:
             b = rescale_zero_terminal_snr(b)
@@ -456,15 +466,21 @@ def min_snr_weight(
     steps stop dominating training: clamp SNR at gamma (paper default 5),
     then express in each parameterization's native loss space:
       eps: min(SNR, g)/SNR      x_0: min(SNR, g)      v: min(SNR, g)/(SNR+1)
-    The v form stays finite at SNR=0, so it composes with zero-terminal-SNR
-    schedules."""
+
+    Zero-terminal-SNR composition: at SNR == 0 exactly (the rescaled
+    schedule's terminal step) the paper formulas degenerate to weight 0 —
+    which would silently never train the t = T-1 prediction that trailing
+    sampling consumes FIRST. Min-SNR's purpose is capping the easy
+    high-SNR steps, not deleting the terminal one, so the weight falls back
+    to the uniform-training value (1.0) exactly at SNR == 0 for the v and
+    x_0 objectives (eps is rejected on zero-SNR schedules anyway)."""
     s = snr(sched, t)
     clamped = jnp.minimum(s, gamma)
     if objective == "x_T":
         return clamped / jnp.maximum(s, 1e-20)
     if objective == "v":
-        return clamped / (s + 1.0)
-    return clamped  # x_0
+        return jnp.where(s == 0.0, 1.0, clamped / (s + 1.0))
+    return jnp.where(s == 0.0, 1.0, clamped)  # x_0
 
 
 def kdiff_sigmas(sched: GaussianDiffusionSchedule) -> jnp.ndarray:

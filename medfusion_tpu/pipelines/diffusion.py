@@ -446,6 +446,19 @@ class DiffusionPipeline:
         if noise is None:
             noise = jnp.zeros_like(x_t)
 
+        return self._pred_to_states(x_t, t, pred, noise,
+                                    cold_diffusion=cold_diffusion,
+                                    var_scale=var_scale)
+
+    def _pred_to_states(self, x_t, t, pred, noise, cold_diffusion=False,
+                        var_scale=0.0):
+        """The ONE definition of prediction post-processing shared by every
+        sampler: objective-space ``pred`` -> (x_t_prior, x_0, x_T,
+        new_self_cond), including the terminal-safe eps inversions
+        (arXiv:2305.08891) and the cold-diffusion/learned-variance options.
+        ``denoise_fast`` consumes it too, so the encoder-propagation sampler
+        cannot silently diverge from ``estimate()``."""
+        sched = self.scheduler
         if self.estimator_objective == "x_0":
             if cold_diffusion:
                 x_t_prior, x_0 = S.cold_diffusion_step(sched, x_t, t, pred, clip=self.clip_x0)
@@ -980,21 +993,9 @@ class DiffusionPipeline:
                 pred, _ = jnp.split(pred, 2, axis=-1)
             anc_noise = jax.random.normal(key, x.shape, x.dtype)
             tb = jnp.full((b,), t_scalar, jnp.int32)
-            if self.estimator_objective == "x_T":
-                x_prior, x_0 = S.ancestral_step_from_eps(
-                    sched, x, tb, pred, anc_noise, clip=self.clip_x0)
-                x_T = pred
-            else:
-                x0p = (S.estimate_x_0_from_v(sched, x, pred, tb, clip=self.clip_x0)
-                       if self.estimator_objective == "v" else pred)
-                x_prior, x_0 = S.ancestral_step(
-                    sched, x, tb, x0p, anc_noise, clip=self.clip_x0)
-                if self._terminal_safe and self.estimator_objective == "v" and not self.clip_x0:
-                    x_T = S.estimate_x_T_from_v(sched, x, pred, tb)
-                elif self._terminal_safe:
-                    x_T = S.estimate_x_T_safe(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
-                else:
-                    x_T = S.estimate_x_T(sched, x, x_0=x0p, t=tb, clip=self.clip_x0)
+            # the SAME post-processing as estimate() — shared helper, so the
+            # fast sampler cannot silently diverge from the exact one
+            x_prior, x_0, x_T, _ = self._pred_to_states(x, tb, pred, anc_noise)
             x_ddim = S.ddim_step(sched, x_0, x_T, t_scalar, t_next,
                                  jnp.zeros_like(x) if eta == 0.0 else anc_noise, eta)
             # trailing grids end above t=0: final transition returns the x_0
@@ -1020,7 +1021,22 @@ class DiffusionPipeline:
         **kwargs,
     ):
         """Noise -> images (reference ``sample``, diffusion_pipeline.py:312-317).
-        ``img_size`` is the channels-last latent shape, e.g. (32, 32, 8)."""
+        ``img_size`` is the channels-last latent shape, e.g. (32, 32, 8).
+
+        Note on ``steps``: under DDIM it is the full-range grid density; for
+        the ancestral sampler (``use_ddim=False``) it TRUNCATES to the lowest
+        ``steps`` noise levels (reference parity) — valid only when the
+        input is pre-noised to that level, which pure noise is not. Since
+        this method always starts from pure noise, a truncating ancestral
+        call is rejected rather than silently denoising N(0,1) as if it sat
+        at level steps-1 (``denoise`` keeps the truncation semantics for
+        img2img/interpolate-style callers)."""
+        if (kwargs.get("use_ddim") is False
+                and kwargs.get("steps") not in (None, self.scheduler.timesteps)):
+            raise ValueError(
+                "sample(use_ddim=False, steps<T) would start the ancestral "
+                "scan mid-schedule on PURE noise; use use_ddim=True for "
+                "fewer steps, or denoise() with a pre-noised input")
         k_init, k_loop = jax.random.split(rng)
         x_T = jax.random.normal(k_init, (num_samples, *img_size))
         return self.denoise(params, x_T, k_loop, condition=condition, **kwargs)

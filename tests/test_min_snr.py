@@ -32,13 +32,19 @@ def test_snr_and_weight_formulas():
 
 
 def test_weight_finite_on_zero_snr_schedule_for_v():
+    """At SNR == 0 exactly (zero-SNR terminal) the paper formula degenerates
+    to 0, which would silently never train the t = T-1 prediction that
+    trailing sampling consumes FIRST — the weight falls back to the
+    uniform-training value 1.0 there instead."""
     zs = GaussianDiffusionSchedule.create(
         timesteps=100, schedule_strategy="scaled_linear",
         beta_start=0.002, beta_end=0.02, zero_terminal_snr=True)
     t = jnp.asarray([0, 50, 99], jnp.int32)
-    w = np.asarray(S.min_snr_weight(zs, t, 5.0, "v"))
-    assert np.all(np.isfinite(w))
-    assert w[-1] == 0.0  # SNR=0 at the terminal step -> weight 0
+    for obj in ("v", "x_0"):
+        w = np.asarray(S.min_snr_weight(zs, t, 5.0, obj))
+        assert np.all(np.isfinite(w))
+        assert w[-1] == 1.0, (obj, w)  # terminal step stays trained
+        assert w[-2] > 0.0
 
 
 class _ZeroEstimator:
