@@ -157,6 +157,44 @@ def interpolate(args):
     # per-dispatch latency n times over).
     from medfusion_tpu.core import schedules as S
 
+    if getattr(args, "family", "diffusion") == "flow":
+        # Flow-family editing parity (pipelines/flow.py): same two modes as
+        # the diffusion branch below, one batched denoise over all lambdas.
+        lams = jnp.linspace(0.0, 1.0, args.n).reshape(-1, 1, 1, 1)
+        if getattr(args, "ddim_invert", False):
+            # deterministic ODE inversion + slerp in noise space
+            zT1 = pipe.invert(params, z1, steps=args.steps)
+            zT2 = pipe.invert(params, z2, steps=args.steps)
+            f1, f2 = zT1.reshape(-1), zT2.reshape(-1)
+            omega = jnp.arccos(jnp.clip(
+                jnp.vdot(f1, f2) / (jnp.linalg.norm(f1) * jnp.linalg.norm(f2)),
+                -1.0, 1.0))
+            so = jnp.sin(omega)
+            w1, w2 = jnp.where(
+                so > 1e-6,
+                jnp.stack([jnp.sin((1.0 - lams) * omega) / jnp.maximum(so, 1e-6),
+                           jnp.sin(lams * omega) / jnp.maximum(so, 1e-6)]),
+                jnp.stack([1.0 - lams, lams]))
+            x = w1 * zT1 + w2 * zT2
+            out = pipe.denoise(params, x, k_loop, steps=args.steps)
+            tag = "ode-invert"
+        else:
+            # reference semantics on the linear path: noise each latent ONCE
+            # to t=strength, lerp, integrate the ODE tail
+            s = args.strength
+            k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 1))
+            x1t = (1.0 - s) * z1 + s * jax.random.normal(k_n1, z1.shape, z1.dtype)
+            x2t = (1.0 - s) * z2 + s * jax.random.normal(k_n2, z2.shape, z2.dtype)
+            x = (1.0 - lams) * x1t + lams * x2t
+            out = pipe.denoise(params, x, k_loop, steps=args.steps, t_start=s)
+            tag = f"strength={s:g}"
+        rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
+        out_dir = Path(args.out)
+        save_image_grid(np.stack(rows), out_dir / "interpolation.png",
+                        nrow=len(rows))
+        print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, flow "
+              f"{tag}, {args.steps} steps)")
+        return
     if getattr(args, "ddim_invert", False):
         # Noise-space interpolation via deterministic DDIM inversion
         # (pipe.invert): endpoints reconstruct the inputs faithfully under
@@ -230,10 +268,20 @@ def inpaint(args):
     x0, x1 = int(np.floor(fx0 * lw)), int(np.ceil(fx1 * lw))
     mask = np.ones((1, lh, lw, 1), np.float32)  # 1 = keep
     mask[:, y0:y1, x0:x1, :] = 0.0  # 0 = generate
-    out = pipe.sample_inpaint(params, k_loop, z, jnp.asarray(mask),
-                              steps=args.steps, use_ddim=True, eta=1.0,
-                              resample_steps=args.resample_steps,
-                              jump_length=args.jump_length)
+    if getattr(args, "family", "diffusion") == "flow":
+        # flow family: per-grid-step renoise harmonization; jump_length has
+        # no separate analog (the flow resample always jumps one grid step)
+        if args.jump_length != 1:
+            print("# note: --jump-length is a diffusion-family knob; the "
+                  "flow resample analog jumps one grid step (ignored)")
+        out = pipe.sample_inpaint(params, k_loop, z, jnp.asarray(mask),
+                                  steps=args.steps,
+                                  resample_steps=args.resample_steps)
+    else:
+        out = pipe.sample_inpaint(params, k_loop, z, jnp.asarray(mask),
+                                  steps=args.steps, use_ddim=True, eta=1.0,
+                                  resample_steps=args.resample_steps,
+                                  jump_length=args.jump_length)
     ih, iw = x.shape[1], x.shape[2]
     img_mask = np.ones((ih, iw, 1), np.float32)
     img_mask[int(fy0 * ih):int(fy1 * ih), int(fx0 * iw):int(fx1 * iw)] = 0.0
@@ -302,20 +350,26 @@ def main(argv=None):
             s.add_argument("--disc", choices=["conv", "patch"], default="conv",
                            help="discriminator flavor the GAN checkpoint was "
                                 "trained with (must match train_autoencoder --disc)")
+        if name in ("interpolate", "inpaint", "img2img"):
+            s.add_argument("--family", choices=("diffusion", "flow"),
+                           default="diffusion",
+                           help="flow = rectified-flow checkpoint (linear-"
+                                "path noising + ODE tail instead of q_sample "
+                                "+ DDIM/ancestral)")
+            s.add_argument("--flow-shift", type=float, default=1.0)
         if name == "interpolate":
             s.add_argument("--i1", type=int, default=0)
             s.add_argument("--i2", type=int, default=1)
             s.add_argument("--ddim-invert", action="store_true",
-                           help="interpolate in DDIM-inverted noise space "
-                                "(slerp) instead of stochastic q_sample "
-                                "noising — faithful endpoints")
+                           help="interpolate in deterministically inverted "
+                                "noise space (DDIM inversion / forward ODE "
+                                "for --family flow; slerp) instead of "
+                                "stochastic noising — faithful endpoints")
+            s.add_argument("--strength", type=float, default=0.9,
+                           help="flow family only: how far along the linear "
+                                "path to noise before lerping (diffusion "
+                                "uses --steps as the reference's level i)")
         if name == "img2img":
-            s.add_argument("--family", choices=("diffusion", "flow"),
-                           default="diffusion",
-                           help="flow = rectified-flow checkpoint (straight-"
-                                "path jump + ODE tail instead of q_sample + "
-                                "DDIM tail)")
-            s.add_argument("--flow-shift", type=float, default=1.0)
             s.add_argument("--i1", type=int, default=0,
                            help="dataset index of the image to edit")
             s.add_argument("--strength", type=float, default=0.6,

@@ -203,6 +203,9 @@ class FlowMatchingPipeline:
         heun: bool = True,
         shift: Optional[float] = None,
         t_start: float = 1.0,
+        known=None,
+        mask=None,
+        resample_steps: int = 1,
     ):
         """Integrate the probability-flow ODE from ``t_start`` down to 0 as
         ONE ``lax.scan``. ``heun=True``: 2nd-order Heun with the final
@@ -210,11 +213,38 @@ class FlowMatchingPipeline:
         the EDM trick); ``heun=False``: Euler (steps forwards). ``shift``
         overrides the pipeline's grid shift at sampling time (SD3 tunes it
         per resolution). ``t_start < 1`` starts mid-path for img2img — the
-        caller supplies ``x_t`` noised to that level. ``rng`` is unused
-        (deterministic ODE); accepted for API symmetry with the diffusion
-        samplers."""
+        caller supplies ``x_t`` noised to that level.
+
+        ``known``/``mask`` enable RePaint-style inpainting on the flow path
+        (family parity with :meth:`DiffusionPipeline.denoise`): after every
+        ODE step the region where ``mask == 1`` is replaced by ``known``
+        placed on the linear forward path at the new level
+        (``(1-t) known + t eps``, fresh eps per step; exactly ``known`` at
+        the final t=0 state). ``known`` is a latent in the sampler's working
+        space (``encode_latent`` output, plus ``2x-1`` if
+        ``do_input_centering``); ``mask`` broadcasts (1 = keep, 0 =
+        generate). Requires ``rng`` (the ODE itself stays deterministic;
+        only the projections draw noise).
+
+        ``resample_steps = r > 1`` is the RePaint harmonization analog
+        (arXiv:2201.09865 Alg. 2 with jump length = one grid step): each
+        transition is re-done r times, renoising t_next -> t_cur between
+        repeats with the marginal-preserving flow renoise
+        ``x_up = ((1-u)/(1-s)) x + b eps`` (b chosen so the noise std is u
+        on the linear path). Estimator cost multiplies by r.
+
+        ``rng`` is otherwise unused (deterministic ODE); accepted for API
+        symmetry with the diffusion samplers."""
         if not (0.0 < t_start <= 1.0):
             raise ValueError("t_start must be in (0, 1]")
+        if (known is None) != (mask is None):
+            raise ValueError("inpainting needs BOTH known and mask (or neither)")
+        if resample_steps < 1:
+            raise ValueError("resample_steps must be >= 1")
+        if resample_steps > 1 and known is None:
+            raise ValueError("resample_steps > 1 requires known + mask")
+        if known is not None and rng is None:
+            raise ValueError("inpainting draws projection noise: pass rng")
         sh = self.shift if shift is None else shift
         # grid in *unshifted* time, then warped; t_start is given in the
         # shifted (physical) time the caller noised to, so un-warp it first
@@ -227,9 +257,10 @@ class FlowMatchingPipeline:
 
         n = steps
         is_last = jnp.arange(n) == n - 1
+        keys = (jax.random.split(rng, n) if known is not None
+                else jnp.zeros((n, 2), jnp.uint32))
 
-        def body(x, inp):
-            t_cur, t_next, last = inp
+        def transition(x, t_cur, t_next, last):
             dt = t_next - t_cur  # negative
             v1 = self._velocity(params, x, t_cur, condition, guidance_scale,
                                 un_cond)
@@ -243,12 +274,35 @@ class FlowMatchingPipeline:
             if heun:
                 # final step: Euler (the correction would query t=0 for a
                 # half-weight term — the EDM final-step convention)
-                x_new = jax.lax.cond(last, lambda xe: xe, heun_correct, x_euler)
-            else:
-                x_new = x_euler
-            return x_new, None
+                return jax.lax.cond(last, lambda xe: xe, heun_correct, x_euler)
+            return x_euler
 
-        x_out, _ = jax.lax.scan(body, x_t, (ts[:-1], ts[1:], is_last))
+        def project_known(x, t_next, key):
+            eps = jax.random.normal(key, known.shape, known.dtype)
+            known_t = (1.0 - t_next) * known + t_next * eps
+            return mask * known_t + (1.0 - mask) * x
+
+        def renoise(x, t_lo, t_hi, key):
+            # marginal-preserving move UP the linear path t_lo -> t_hi:
+            # scale the state so the clean component lands at (1-t_hi) and
+            # top up the noise std from (1-t_hi)/(1-t_lo)*t_lo to t_hi
+            a = (1.0 - t_hi) / (1.0 - t_lo)
+            b = jnp.sqrt(jnp.maximum(t_hi ** 2 - (a * t_lo) ** 2, 0.0))
+            return a * x + b * jax.random.normal(key, x.shape, x.dtype)
+
+        def body(x, inp):
+            t_cur, t_next, last, key = inp
+            if known is None:
+                return transition(x, t_cur, t_next, last), None
+            for r in range(resample_steps):  # static unroll (opt-in, small)
+                k_proj, k_re, key = jax.random.split(key, 3)
+                x = transition(x, t_cur, t_next, last)
+                x = project_known(x, t_next, k_proj)
+                if r < resample_steps - 1:
+                    x = renoise(x, t_next, t_cur, k_re)
+            return x, None
+
+        x_out, _ = jax.lax.scan(body, x_t, (ts[:-1], ts[1:], is_last, keys))
         if decode:
             x_out = self.decode_latent(params, x_out)
         return x_out
@@ -306,6 +360,142 @@ class FlowMatchingPipeline:
                             steps=steps, guidance_scale=guidance_scale,
                             un_cond=un_cond, decode=decode, heun=heun,
                             shift=shift, t_start=strength)
+
+    def sample_inpaint(
+        self,
+        params,
+        rng,
+        known,
+        mask,
+        condition=None,
+        **kwargs,
+    ):
+        """Mask-guided generation on the flow path (family parity with
+        :meth:`DiffusionPipeline.sample_inpaint`, RePaint-style
+        arXiv:2201.09865): start from pure noise and :meth:`denoise` with the
+        per-step known-region projection, so the output equals ``known``
+        where ``mask == 1`` and is generated (consistently with it) where
+        ``mask == 0``. ``known`` is a latent in the sampler's working space —
+        encode images with :meth:`encode_latent` (and apply ``2x-1`` if
+        ``do_input_centering``); ``mask`` broadcasts against it. Forward
+        ``resample_steps=r`` for the harmonization analog."""
+        k_init, k_loop = jax.random.split(rng)
+        x_T = jax.random.normal(k_init, known.shape, known.dtype)
+        return self.denoise(params, x_T, k_loop, condition=condition,
+                            known=known, mask=mask, **kwargs)
+
+    def invert(
+        self,
+        params,
+        x_0,
+        condition=None,
+        steps: int = 25,
+        guidance_scale: float = 1.0,
+        un_cond=None,
+        heun: bool = True,
+        shift: Optional[float] = None,
+    ):
+        """Deterministic ODE inversion: integrate dx/dt = v(x, t) FORWARD
+        from t=0 (clean latent) to t=1 (noise) over the same shifted grid
+        :meth:`denoise` descends — the flow-family analog of
+        :meth:`DiffusionPipeline.invert` (family parity; the probability-flow
+        ODE is time-symmetric, so inversion is just the reverse sweep).
+
+        Integrator is the exact time-mirror of :meth:`denoise`: every
+        velocity query happens at the HIGHER-t endpoint of its interval
+        (descending Euler evaluates at t_cur; ascending Euler therefore at
+        t_next), Heun's symmetric average is used on every step except the
+        one touching t=0 — going down that's the final step, going up the
+        first — so t=0 is never queried in either direction, NFE matches
+        (2*steps - 1 Heun / steps Euler), and for any x-independent velocity
+        field the up and down sweeps cancel exactly (pinned by the oracle
+        roundtrip test). ``x_0`` is a latent in the sampler's working space
+        (see :meth:`sample_inpaint`). One ``lax.scan``, jit-safe."""
+        sh = self.shift if shift is None else shift
+        u = jnp.linspace(0.0, 1.0, steps + 1)
+        ts = shift_time(u, sh) if sh != 1.0 else u
+        n = steps
+        is_first = jnp.arange(n) == 0
+
+        def body(x, inp):
+            t_cur, t_next, first = inp
+            dt = t_next - t_cur  # positive
+            # Euler steps mirror the descending convention (evaluate at the
+            # higher t of the interval => t_next going up); Heun's v1 is the
+            # standard lower-endpoint slope on non-first steps
+            t_eval = jnp.where(first, t_next, t_cur) if heun else t_next
+            v1 = self._velocity(params, x, t_eval, condition, guidance_scale,
+                                un_cond)
+            x_euler = x + dt * v1
+
+            def heun_correct(x_e):
+                v2 = self._velocity(params, x_e, t_next, condition,
+                                    guidance_scale, un_cond)
+                return x + dt * 0.5 * (v1 + v2)
+
+            if heun:
+                x_new = jax.lax.cond(first, lambda xe: xe, heun_correct,
+                                     x_euler)
+            else:
+                x_new = x_euler
+            return x_new, None
+
+        x_T, _ = jax.lax.scan(body, x_0, (ts[:-1], ts[1:], is_first))
+        return x_T
+
+    def interpolate(
+        self,
+        params,
+        rng,
+        img1,
+        img2,
+        strength: float = 1.0,
+        condition=None,
+        lam: float = 0.5,
+        ode_invert: bool = False,
+        **kwargs,
+    ):
+        """Latent interpolation, family parity with
+        :meth:`DiffusionPipeline.interpolate` (reference
+        diffusion_pipeline.py:320-332). Default mode mirrors the reference
+        semantics on the flow path: place both latents at ``t = strength``
+        on the linear forward path (fresh noise each), lerp with ``lam``,
+        integrate down from there. ``ode_invert=True`` uses the
+        deterministic :meth:`invert` to carry each input to t=1 and SLERPs
+        in noise space (endpoints then reconstruct the inputs faithfully) —
+        the analog of the diffusion family's ``--ddim-invert`` mode.
+        ``img1``/``img2`` are latents in the sampler's working space."""
+        if not (0.0 < strength <= 1.0):
+            raise ValueError("strength must be in (0, 1]")
+        steps = kwargs.get("steps", 25)
+        if ode_invert:
+            z1 = self.invert(params, img1, condition=condition, steps=steps,
+                             heun=kwargs.get("heun", True),
+                             shift=kwargs.get("shift"))
+            z2 = self.invert(params, img2, condition=condition, steps=steps,
+                             heun=kwargs.get("heun", True),
+                             shift=kwargs.get("shift"))
+            # per-sample slerp: noise-space interpolation keeps the radius a
+            # Gaussian sample would have (lerp shrinks it by up to sqrt(2))
+            b = z1.shape[0]
+            f1, f2 = z1.reshape(b, -1), z2.reshape(b, -1)
+            dot = jnp.sum(f1 * f2, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(f1, axis=-1) * jnp.linalg.norm(f2, axis=-1),
+                1e-12)
+            omega = jnp.arccos(jnp.clip(dot, -1.0 + 1e-7, 1.0 - 1e-7))
+            omega = omega.reshape((b,) + (1,) * (z1.ndim - 1))
+            so = jnp.sin(omega)
+            z = (jnp.sin((1 - lam) * omega) / so) * z1 + \
+                (jnp.sin(lam * omega) / so) * z2
+            return self.denoise(params, z, rng, condition=condition, **kwargs)
+        k1, k2, k_loop = jax.random.split(rng, 3)
+        e1 = jax.random.normal(k1, img1.shape, img1.dtype)
+        e2 = jax.random.normal(k2, img2.shape, img2.dtype)
+        x1 = (1.0 - strength) * img1 + strength * e1
+        x2 = (1.0 - strength) * img2 + strength * e2
+        x = (1 - lam) * x1 + lam * x2
+        return self.denoise(params, x, k_loop, condition=condition,
+                            t_start=strength, **kwargs)
 
     def jit_sampler(self, **static_kwargs):
         """Jitted closure over :meth:`sample` with static config baked in
