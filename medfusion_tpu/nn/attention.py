@@ -89,10 +89,25 @@ class LinearTransformer(nn.Module):
         x_tok, spatial = _flatten_tokens(x_n)
         kv_tok = x_tok if emb_tok is None else emb_tok
 
-        q = Dense(hid, name="to_q")(x_tok)
-        k = Dense(hid, name="to_k")(kv_tok)
-        v = Dense(hid, name="to_v")(kv_tok)
-        out = compute_attention(q, k, v, self.num_heads, scale)
+        if kv_tok is not x_tok and kv_tok.shape[1] == 1:
+            # Single-KV-token cross-attention (the label-embedding case,
+            # attention_blocks.py:172-173): softmax over ONE key is exactly
+            # 1.0 for every query regardless of q/k, so the output is just
+            # the value projection broadcast over tokens. Skips the full-N
+            # q projection and both attention einsums (which are
+            # MXU-hostile [N,D]x[D,1] gemvs) — bit-identical math, measured
+            # win on the spatial-attention sampling program. to_q/to_k are
+            # still applied to one token so the param tree (and the torch
+            # converter contract) is unchanged.
+            _ = Dense(hid, name="to_q")(x_tok[:, :1])
+            _ = Dense(hid, name="to_k")(kv_tok)
+            v = Dense(hid, name="to_v")(kv_tok)
+            out = jnp.broadcast_to(v, (v.shape[0], x_tok.shape[1], hid))
+        else:
+            q = Dense(hid, name="to_q")(x_tok)
+            k = Dense(hid, name="to_k")(kv_tok)
+            v = Dense(hid, name="to_v")(kv_tok)
+            out = compute_attention(q, k, v, self.num_heads, scale)
         out = Dense(self.out_channels, zero_init=True, name="to_out")(out)
         if self.dropout is not None:
             out = nn.Dropout(rate=float(self.dropout), deterministic=not train)(out)

@@ -196,6 +196,44 @@ def test_cross_attention_2d_embedding_single_token():
     assert np.allclose(y.std(axis=(1, 2)), y.std(axis=(1, 2)))
 
 
+def test_cross_attention_single_token_shortcut_exact():
+    """The single-KV-token fast path (softmax over one key == 1, so
+    out = broadcast(v)) must match the explicit double-scale softmax
+    attention computed from the SAME params — the shortcut is algebra,
+    not approximation."""
+    from medfusion_tpu.ops.flash_attention import naive_attention
+
+    b, hw, ch, e, heads, dph = 2, 4, 32, 16, 8, 4
+    x = rand((b, hw, hw, ch), seed=26)
+    emb = rand((b, e), seed=27)
+    m = mnn.LinearTransformer(2, ch, heads, dph,
+                              ("GROUP", {"num_groups": 8, "affine": True}),
+                              emb_dim=e)
+    params = m.init(KEY, jnp.asarray(x), jnp.asarray(emb))["params"]
+    y = np.asarray(m.apply({"params": params}, jnp.asarray(x), jnp.asarray(emb)))
+
+    # explicit path from the same params
+    def dense(p, t):
+        return t @ p["linear"]["kernel"] + p["linear"]["bias"]
+
+    gn = mnn.Norm(("GROUP", {"num_groups": 8, "affine": True}), ch)
+    x_n = gn.apply({"params": params["norm_x"]}, jnp.asarray(x))
+    x_tok = x_n.reshape(b, hw * hw, ch)
+    emb_tok = jnp.asarray(emb)[:, None, :]
+    q = dense(params["to_q"], x_tok)
+    k = dense(params["to_k"], emb_tok)
+    v = dense(params["to_v"], emb_tok)
+    from einops import rearrange
+    qh = rearrange(q, "b n (h d) -> b h n d", h=heads)
+    kh = rearrange(k, "b n (h d) -> b h n d", h=heads)
+    vh = rearrange(v, "b n (h d) -> b h n d", h=heads)
+    att = rearrange(naive_attention(qh, kh, vh, dph ** -0.25),
+                    "b h n d -> b n (h d)")
+    out = dense(params["to_out"], att).reshape(b, hw, hw, ch)
+    want = np.asarray(jnp.asarray(x) + out)  # residual (shapes match)
+    np.testing.assert_allclose(y, want, atol=1e-5, rtol=1e-5)
+
+
 def test_geglu_parity():
     b, n, ch = 2, 9, 16
     x = rand((b, n, n, ch), seed=18)
