@@ -65,6 +65,21 @@ def main(argv=None):
 
         raw = np.load(args.inception_weights)
         params = convert_torch_inception({k: raw[k] for k in raw.files})
+    else:
+        # auto-pickup of an ingested artifact (cli/ingest_weights) — the
+        # one-file-copy path to reference-protocol FID
+        from medfusion_tpu.utils import pretrained as PT
+
+        ingested = PT.load_pretrained(PT.INCEPTION)
+        if ingested is not None:
+            params = ingested
+            print(f"using ingested InceptionV3 weights from "
+                  f"{PT.weights_dir() / PT.INCEPTION}")
+        else:
+            print("WARNING: no pretrained InceptionV3 available — features "
+                  "are a random projection; FID/P/R are self-consistent but "
+                  "NOT comparable to published numbers (ingest the torch "
+                  "weights via cli/ingest_weights for parity)")
     featurize = jax.jit(lambda x: net.apply({"params": params}, x))
 
     fid = FrechetInceptionDistance()

@@ -47,6 +47,18 @@ def main(argv=None):
         from medfusion_tpu.losses.lpips import load_vgg16_npz
 
         lpips_params = {**lpips_params, "vgg": load_vgg16_npz(args.vgg_weights)}
+    else:
+        from medfusion_tpu.utils import pretrained as PT
+
+        ingested = PT.load_pretrained(PT.VGG16)
+        if ingested is not None:
+            lpips_params = {**lpips_params, "vgg": ingested}
+            print(f"using ingested VGG16 weights from "
+                  f"{PT.weights_dir() / PT.VGG16}")
+        else:
+            print("WARNING: no pretrained VGG16 — LPIPS uses a random "
+                  "backbone (valid metric, NOT comparable to published "
+                  "numbers; ingest via cli/ingest_weights vgg16)")
 
     @jax.jit
     def roundtrip(x, rng):

@@ -62,6 +62,13 @@ def main(argv=None):
                          "with --gan, to both players' optimizers; "
                          "lambda_linear = the vendored SD LambdaLinearScheduler)")
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--lpips", action="store_true",
+                    help="add the LPIPS perceptual term to the rec loss "
+                         "(reference latent_embedders.py:211 trains with the "
+                         "lpips perceiver by default); REQUIRES ingested "
+                         "VGG16 weights (cli/ingest_weights vgg16) — a "
+                         "random backbone would silently train against a "
+                         "random projection")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-donate", action="store_true",
@@ -101,9 +108,27 @@ def _train(args, resume: bool):
     # (vae.py:608-610 mean MSE + vq_loss; :833-834 sum(sq)/B + kl).
     quantized = args.model in ("vqvae", "diffusers_vq")
     diffusers_family = args.model.startswith("diffusers")
+    perceiver, perceiver_params = None, None
+    if args.lpips:
+        from medfusion_tpu.losses import LPIPS
+        from medfusion_tpu.utils import pretrained as PT
+
+        vgg = PT.load_pretrained(PT.VGG16)
+        if vgg is None:
+            raise SystemExit(
+                "--lpips needs ingested VGG16 weights (none under "
+                f"{PT.weights_dir()}); run cli/ingest_weights vgg16 --src "
+                "vgg16-397923af.pth first — training against a random "
+                "backbone is refused, not warned")
+        perceiver = LPIPS()
+        x_p = np.zeros((1, p.image_size, p.image_size, p.in_channels), np.float32)
+        perceiver_params = {**perceiver.init(jax.random.PRNGKey(1), x_p,
+                                             x_p)["params"], "vgg": vgg}
+        print(f"LPIPS perceptual loss ON (ingested weights, "
+              f"{PT.weights_dir() / PT.VGG16})")
     ae_trainer = AutoencoderTrainer(
         autoencoder=vae, flavor="vqvae" if quantized else "vae",
-        pixel_loss="l2" if diffusers_family else p.ae_loss, perceiver=None,
+        pixel_loss="l2" if diffusers_family else p.ae_loss, perceiver=perceiver,
         embedding_loss_weight=(1.0 if (quantized or diffusers_family)
                                else p.ae_embedding_loss_weight),
         use_ssim=not diffusers_family,
@@ -165,7 +190,8 @@ def _train(args, resume: bool):
     while step < args.max_steps:
         for batch in dm.train_dataloader(epoch=epoch):
             batch = {"source": jax.device_put(batch["source"])}
-            state, metrics = step_fn(state, None, batch, jax.random.fold_in(key, step))
+            state, metrics = step_fn(state, perceiver_params, batch,
+                                     jax.random.fold_in(key, step))
             step += 1
             if step % 50 == 0 or step == 1:
                 writer.log_scalars(step, metrics)
