@@ -68,10 +68,19 @@ def pipeline_partition_spec(stacked_params, axis: str = "model"):
     return jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
 
 
-def shard_stage_params(stacked_params, mesh: Mesh, axis: str = "model"):
-    """Place each stage's slice of the stacked params on its pipeline device."""
+def shard_stage_params(stacked_params, mesh: Mesh, axis: str = "model",
+                       zero_axis: str = None):
+    """Place each stage's slice of the stacked params on its pipeline device.
+
+    ``zero_axis``: optionally ZeRO-3-shard each stage's params over a second
+    mesh axis (pp x fsdp composition): the first post-stage dim of every leaf
+    is sharded over ``zero_axis`` at rest and all-gathered just-in-time
+    inside :func:`pipeline_apply` (pass the same ``zero_axis`` there).
+    Requires that dim to divide by ``mesh.shape[zero_axis]`` for every leaf.
+    """
+    spec = P(axis, zero_axis) if zero_axis else P(axis)
     return jax.tree_util.tree_map(
-        lambda v: jax.device_put(v, NamedSharding(mesh, P(axis))),
+        lambda v: jax.device_put(v, NamedSharding(mesh, spec)),
         stacked_params)
 
 
@@ -87,7 +96,7 @@ def _mark_varying(x, axis_name: str, anchor):
 def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                    stacked_params, x: jnp.ndarray, *, mesh: Mesh,
                    axis: str = "model", n_microbatches: int = None,
-                   data_axis: str = None):
+                   data_axis: str = None, zero_axis: str = None):
     """Apply ``n_stages = mesh.shape[axis]`` sequential stages to ``x``.
 
     Args:
@@ -101,6 +110,11 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         microbatches shrink the pipeline bubble).
       data_axis: optional second mesh axis carrying data parallelism — the
         microbatch batch dim is sharded over it (dp x pp composition).
+      zero_axis: optional mesh axis over which each stage's params are
+        ZeRO-3-sharded at rest (see :func:`shard_stage_params`); they are
+        all-gathered just-in-time per stage (pp x fsdp composition —
+        differentiable: the gather's vjp is a reduce-scatter, so gradient
+        memory stays sharded too). Usually the same axis as ``data_axis``.
 
     Returns the stage composition ``stage_{S-1}(... stage_0(x))`` with the
     same sharding layout as ``x`` (replicated over ``axis``).
@@ -112,12 +126,18 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
     x_mb = x.reshape((n_micro, b // n_micro) + x.shape[1:])
     x_spec = P(None, data_axis) if data_axis else P()
+    p_spec = P(axis, zero_axis) if zero_axis else P(axis)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis), x_spec), out_specs=x_spec,
+             in_specs=(p_spec, x_spec), out_specs=x_spec,
              **_SHARD_MAP_KW)
     def run(p_stacked, xm):
         p_local = jax.tree_util.tree_map(lambda v: v[0], p_stacked)
+        if zero_axis is not None:
+            # ZeRO-3 just-in-time gather of this stage's full params
+            p_local = jax.tree_util.tree_map(
+                lambda v: jax.lax.all_gather(v, zero_axis, axis=0, tiled=True),
+                p_local)
         stage_id = jax.lax.axis_index(axis)
         is_first = (stage_id == 0)
         is_last = (stage_id == n_stages - 1)

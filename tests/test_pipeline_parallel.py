@@ -158,3 +158,42 @@ def test_pipeline_normalizing_stage_no_nan_poisoning():
         assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_zero_sharded_stages_match_sequential():
+    """pp x fsdp (round-3 verdict ask #8): stage params ZeRO-3-sharded over
+    'data' at rest, all-gathered just-in-time — forward AND grads equal the
+    sequential composition, and the resident sharding really is 2-D."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    stages = _make_stages(2, 16, seed=7)
+    stacked = shard_stage_params(stack_stage_params(stages), mesh,
+                                 zero_axis="data")
+    # resident layout: stage dim on 'model', first param dim on 'data'
+    assert stacked["w"].sharding.spec == P("model", "data")
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((8, 16)),
+                    jnp.float32)
+    want = _sequential(stages, x)
+    got = pipeline_apply(_stage_fn, stacked, x, mesh=mesh, axis="model",
+                         data_axis="data", zero_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_pp(p_stacked, x):
+        y = pipeline_apply(_stage_fn, p_stacked, x, mesh=mesh, axis="model",
+                           data_axis="data", zero_axis="data")
+        return jnp.sum(y ** 2)
+
+    def loss_seq(stages, x):
+        return jnp.sum(_sequential(stages, x) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked, x)
+    g_seq = jax.grad(loss_seq)(stages, x)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(g_pp["w"][i]),
+                                   np.asarray(g_seq[i]["w"]),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_pp["b"][i]),
+                                   np.asarray(g_seq[i]["b"]),
+                                   atol=1e-4, rtol=1e-4)
