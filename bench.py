@@ -27,7 +27,12 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
   alone); the default single-run batch below is the sweep's winner.
 
 Usage:
-  python bench.py            # one measurement at the pinned best batch
+  python bench.py            # suite: flow-30-step + 8-step-trailing lines,
+                             # then the 150-step headline line LAST (the
+                             # driver parses the last line; its "suite" field
+                             # carries the variants). Also refreshes
+                             # BENCH_SUITE.json at the repo root.
+  python bench.py --headline-only  # just the 150-step headline
   python bench.py --batch 64 # one measurement at a chosen batch
   python bench.py --sweep    # full batch sweep, prints one line per batch,
                              # final JSON line is the best
@@ -123,7 +128,7 @@ def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
 
 
 def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
-              sampler="ddim", steps=STEPS):
+              sampler="ddim", steps=STEPS, eta=1.0, timestep_spacing="linspace"):
     cond = jnp.zeros((batch,), jnp.int32)
     lat = PRESETS[preset]["latent"]
 
@@ -139,7 +144,8 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
         else:
             out = pipe.sample(
                 params, rng, batch, lat, condition=cond,
-                steps=steps, use_ddim=True, guidance_scale=1.0, eta=1.0,
+                steps=steps, use_ddim=True, guidance_scale=1.0, eta=eta,
+                timestep_spacing=timestep_spacing,
             )
         # Scalar checksum: forces the full computation while keeping the
         # host transfer at 4 bytes (the axon tunnel's bulk fetch would
@@ -160,7 +166,10 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
     vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
     img = PRESETS[preset]["image"]
     lat_s = f"{lat[-1]}x{lat[0]}x{lat[1]}"
-    sampler_s = {"ddim": f"{steps}-step DDIM",
+    ddim_s = f"{steps}-step DDIM" + (
+        f" ({timestep_spacing}, eta={eta:g})"
+        if (timestep_spacing, eta) != ("linspace", 1.0) else "")
+    sampler_s = {"ddim": ddim_s,
                  "edm": f"{steps}-step EDM Heun ({2 * steps - 1} NFE)",
                  "flow": f"{steps}-step flow ODE Heun ({2 * steps - 1} NFE)",
                  }[sampler]
@@ -181,7 +190,46 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
 
 
 def _attn_label(args):
-    return args.attention + ("+flash" if args.flash else "")
+    return (args.attention + ("+flash" if args.flash else "")
+            + ("+fgeglu" if args.fused_geglu else ""))
+
+
+def run_suite_extras(batch):
+    """Measure the beyond-headline variants on the same chest geometry so the
+    driver's default ``python bench.py`` run captures them (round-3 verdict
+    ask: flow / few-step numbers must be driver-captured, not
+    builder-reported). Each variant is one large remote compile; failures are
+    recorded, never fatal to the headline. Returns (printed_records,
+    compact_suite_dict)."""
+    records, compact = [], {}
+
+    def attempt(key, fn):
+        try:
+            r = fn()
+            records.append(r)
+            compact[key] = {"value": r["value"], "mfu": r["mfu"],
+                            "batch": r["batch"]}
+            print(json.dumps(r), flush=True)
+        except Exception as e:  # noqa: BLE001 — headline must still run
+            compact[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# suite variant {key} failed: {e}", flush=True)
+
+    def _flow():
+        pipe, params = build("chest", "none", family="flow")
+        fps = flops_per_sample(pipe, params, "chest", nfe=2 * 30 - 1)
+        return run_bench(pipe, params, batch, fps, "chest", "none",
+                         sampler="flow", steps=30)
+
+    def _fewstep():
+        pipe, params = build("chest", "none")
+        fps = flops_per_sample(pipe, params, "chest", nfe=8)
+        return run_bench(pipe, params, batch, fps, "chest", "none",
+                         sampler="ddim", steps=8, eta=0.0,
+                         timestep_spacing="trailing")
+
+    attempt("flow_30step_heun", _flow)
+    attempt("ddim_8step_trailing", _fewstep)
+    return records, compact
 
 
 def main():
@@ -198,16 +246,36 @@ def main():
                          "program, 1024-token softmax at the top level)")
     ap.add_argument("--flash", action="store_true",
                     help="route attention through the Pallas flash kernel")
+    ap.add_argument("--fused-geglu", action="store_true",
+                    help="route the transformer MLP through the fused "
+                         "LN+GEGLU+proj Pallas kernel (ops/geglu.py; only "
+                         "meaningful with --attention spatial)")
     ap.add_argument("--sampler", choices=["ddim", "edm", "flow"],
                     default="ddim",
                     help="opt-in EDM (Karras Heun) or rectified-flow ODE "
                          "measurement; the driver headline is 150-step DDIM")
     ap.add_argument("--steps", type=int, default=STEPS,
                     help="sampler step count (headline protocol: 150)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the flow/few-step suite extras (they run by "
+                         "default on the plain invocation so the driver "
+                         "captures them; ~2 extra remote compiles)")
     args = ap.parse_args()
     if args.flash and args.attention == "none":
         ap.error("--flash has no effect without attention layers; "
                  "add --attention spatial|linear")
+
+    # Suite extras only on the plain driver invocation (every flag at its
+    # default): one JSON line per variant, then the headline line LAST with a
+    # compact "suite" field so the driver's tail-parse carries all numbers.
+    default_run = (not args.sweep and not args.headline_only
+                   and args.batch == DEFAULT_BATCH and args.preset == "chest"
+                   and args.attention == "none" and not args.flash
+                   and not args.fused_geglu
+                   and args.sampler == "ddim" and args.steps == STEPS)
+    suite_records, suite_compact = ([], None)
+    if default_run:
+        suite_records, suite_compact = run_suite_extras(args.batch)
 
     pipe, params = build(args.preset, args.attention,
                          family="flow" if args.sampler == "flow" else "diffusion")
@@ -219,6 +287,10 @@ def main():
         import medfusion_tpu.ops as ops
 
         ops.enable_flash_attention(True)
+    if args.fused_geglu:
+        import medfusion_tpu.ops as ops
+
+        ops.enable_fused_geglu(True)
 
     if args.sweep:
         results = []
@@ -231,6 +303,14 @@ def main():
     else:
         best = run_bench(pipe, params, args.batch, fps, args.preset,
                          _attn_label(args), args.sampler, args.steps)
+    if suite_compact is not None:
+        best["suite"] = suite_compact
+        try:
+            with open("BENCH_SUITE.json", "w") as f:
+                json.dump({"headline": best, "variants": suite_records}, f,
+                          indent=1)
+        except OSError:
+            pass
     print(json.dumps(best))
 
 

@@ -154,10 +154,36 @@ class BasicTransformerBlock(nn.Module):
                 self.spatial_dims, in_ch, self.num_heads, self.ch_per_head,
                 self.norm_name, self.dropout, self.emb_dim, name="cros_atn",
             )(x, embedding, train=train)
-        h = GEGLU(in_ch * 4, name="geglu")(x)
-        if self.dropout is not None:
-            h = nn.Dropout(rate=float(self.dropout), deterministic=not train)(h)
-        out = Dense(self.out_channels, name="proj_out")(h)
+        from medfusion_tpu import ops
+
+        if (ops.fused_geglu_enabled() and self.dropout is None
+                and self.out_channels == in_ch):
+            # Fused LN+GEGLU+proj_out kernel (ops/geglu.py): create the SAME
+            # child modules on one token so the param tree (and the torch
+            # converter contract) is unchanged, then read their weights and
+            # run the fused op — the 4x-expansion intermediates never touch
+            # HBM. Dropout (None on every sampling path) and the
+            # channels-differ branch (whose output the reference discards)
+            # fall back.
+            gg = GEGLU(in_ch * 4, name="geglu")
+            _ = gg(x.reshape(x.shape[0], -1, in_ch)[:, :1])
+            po = Dense(self.out_channels, name="proj_out")
+            _ = po(jnp.zeros((1, 1, in_ch * 4), x.dtype))
+            p = self.variables["params"]
+            out = ops.fused_geglu_mlp(
+                x,
+                p["geglu"]["norm"]["scale"], p["geglu"]["norm"]["bias"],
+                p["geglu"]["proj"]["linear"]["kernel"],
+                p["geglu"]["proj"]["linear"]["bias"],
+                p["proj_out"]["linear"]["kernel"],
+                p["proj_out"]["linear"]["bias"],
+            )
+        else:
+            h = GEGLU(in_ch * 4, name="geglu")(x)
+            if self.dropout is not None:
+                h = nn.Dropout(rate=float(self.dropout),
+                               deterministic=not train)(h)
+            out = Dense(self.out_channels, name="proj_out")(h)
         if out.shape[-1] == x.shape[-1]:
             return out + x
         return x  # parity: reference returns x (not out) when channels differ

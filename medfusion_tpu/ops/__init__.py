@@ -63,3 +63,25 @@ def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5, apply_silu=True,
 
     return _gn(x, scale, bias, num_groups, eps, apply_silu=apply_silu,
                interpret=interpret)
+
+
+_FUSED_GEGLU = False
+
+
+def enable_fused_geglu(on: bool = True) -> None:
+    global _FUSED_GEGLU
+    _FUSED_GEGLU = on
+
+
+def fused_geglu_enabled() -> bool:
+    return _FUSED_GEGLU
+
+
+def fused_geglu_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, **kw):
+    """Fused LayerNorm+GEGLU+down-projection transformer MLP (see
+    :mod:`medfusion_tpu.ops.geglu`). Streams the 4x-expansion intermediates
+    through VMEM instead of HBM — measured win on the spatial-attention
+    program (PARITY.md round 4)."""
+    from medfusion_tpu.ops.geglu import fused_geglu_mlp as _impl
+
+    return _impl(x, ln_scale, ln_bias, w1, b1, w2, b2, **kw)

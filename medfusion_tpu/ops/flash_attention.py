@@ -35,13 +35,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-# Below this KV length the naive XLA softmax path is faster on-chip than the
-# Pallas kernel (measured: kernel 1.55-1.59x at 1024-4096 tokens, slower at
-# the 16-256-token UNet lower levels -- end-to-end A/B in PARITY.md). The
+# Round-4 on-chip sweep at the 1024-token spatial level ([32,8,1024,32]
+# bf16, marginal-cost timing): full blocks win — the online-softmax
+# recurrence costs more than it saves at these sizes (1024x1024 1.00 ms vs
+# 512x512 1.36 vs XLA 2.33; the f32->input-dtype dot change is another
+# 1.37x on top of round 3's kernel). VMEM comfortably holds the f32
+# [1024,1024] probability block.
+DEFAULT_BLOCK_Q = 1024
+# Below this KV length the naive XLA softmax path is faster on-chip than
+# the Pallas kernel. Round-4 re-sweep after the input-dtype-dot change
+# (bf16, marginal-cost timing): 256 tokens/D=64 flash 0.140 ms vs XLA
+# 0.226 (kernel now WINS — round 2's 1024 threshold is obsolete); 64
+# tokens/D=128 XLA 0.0076 vs flash 0.095 (block padding dominates). The
 # ops package wrapper applies this; the kernel itself does not.
-MIN_KV_TOKENS = 1024
-DEFAULT_BLOCK_K = 512
+MIN_KV_TOKENS = 256
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 
@@ -52,22 +60,31 @@ def _dot(a, b, dims):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 block_k: int, n_kv: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    # MXU dots run in the INPUT dtype with f32 accumulation (_dot's
+    # preferred_element_type): for bf16 inputs this is numerically identical
+    # to upcasting first (bf16 products are exact in f32) but runs at the
+    # bf16 MXU rate instead of the ~4x-slower f32 passes — measured 2x on
+    # the 1024-token spatial level. Softmax statistics stay f32; only the
+    # probability block is rounded back to the input dtype for the p.v dot,
+    # exactly the naive XLA path's own bf16 semantics (f32 inputs round-trip
+    # unchanged, so the interpret-mode equivalence tests are bit-identical).
+    in_dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, in_dt)  # [BQ, D]
     bq = q.shape[0]
     d = q.shape[1]
     num_kv = n_kv // block_k
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32) * scale
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = _dot(q, k, ((1,), (1,)))  # [BQ, BK]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :] * jnp.asarray(scale, in_dt)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = _dot(q, k, ((1,), (1,)))  # [BQ, BK] f32
         m_cur = jnp.max(s, axis=1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + _dot(p, v, ((1,), (0,)))
+        acc = acc * alpha[:, None] + _dot(p.astype(in_dt), v, ((1,), (0,)))
         return m_new, l_new, acc
 
     m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
@@ -83,21 +100,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    sc2: float, block_k: int, n_kv: int):
-    """dQ = s^2 * sum_j P_j (dO V_j^T - D) K_j, queries tiled, KV looped."""
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    do = do_ref[0].astype(jnp.float32)  # [BQ, Dv]
+    """dQ = s^2 * sum_j P_j (dO V_j^T - D) K_j, queries tiled, KV looped.
+
+    Same dtype policy as the forward: dots in the input dtype with f32
+    accumulation, statistics and the ds product in f32 (rounded back to the
+    input dtype only as a dot operand — a no-op for f32 inputs)."""
+    in_dt = q_ref.dtype
+    q = q_ref[0]  # [BQ, D]
+    do = do_ref[0]  # [BQ, Dv]
     lse = lse_ref[0].astype(jnp.float32)  # [BQ, 1]
     delta = delta_ref[0].astype(jnp.float32)  # [BQ, 1]
     num_kv = n_kv // block_k
 
     def body(i, acc):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK] f32
         p = jnp.exp(s - lse)
-        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
+        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK] f32
         ds = p * (dp - delta)
-        return acc + _dot(ds, k, ((1,), (0,)))  # [BQ, D]
+        return acc + _dot(ds.astype(in_dt), k, ((1,), (0,)))  # [BQ, D]
 
     acc0 = jnp.zeros(q.shape, jnp.float32)
     acc = jax.lax.fori_loop(0, num_kv, body, acc0)
@@ -106,23 +128,25 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
                     dv_ref, *, sc2: float, block_q: int, n_q: int):
-    """dK = s^2 dS^T Q, dV = P^T dO — KV tiled, queries looped."""
-    k = k_ref[0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0].astype(jnp.float32)  # [BK, Dv]
+    """dK = s^2 dS^T Q, dV = P^T dO — KV tiled, queries looped. Input-dtype
+    dots with f32 accumulation (see :func:`_bwd_dq_kernel`)."""
+    in_dt = k_ref.dtype
+    k = k_ref[0]  # [BK, D]
+    v = v_ref[0]  # [BK, Dv]
     num_q = n_q // block_q
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)  # [BQ, 1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK]
+        s = sc2 * _dot(q, k, ((1,), (1,)))  # [BQ, BK] f32
         p = jnp.exp(s - lse)
-        dv_acc = dv_acc + _dot(p, do, ((0,), (0,)))  # [BK, Dv]
-        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK]
+        dv_acc = dv_acc + _dot(p.astype(in_dt), do, ((0,), (0,)))  # [BK, Dv]
+        dp = _dot(do, v, ((1,), (1,)))  # [BQ, BK] f32
         ds = p * (dp - delta)
-        dk_acc = dk_acc + _dot(ds, q, ((0,), (0,)))  # [BK, D]
+        dk_acc = dk_acc + _dot(ds.astype(in_dt), q, ((0,), (0,)))  # [BK, D]
         return dk_acc, dv_acc
 
     dk0 = jnp.zeros(k.shape, jnp.float32)

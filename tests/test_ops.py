@@ -214,9 +214,96 @@ def test_ops_wrapper_dispatches_by_kv_length(monkeypatch):
         return q
 
     monkeypatch.setattr(ops, "_FA_IMPL", fake_impl)
-    small = jnp.ones((1, 2, 256, 64))
-    big = jnp.ones((1, 2, 1024, 64))
+    small = jnp.ones((1, 2, 64, 64))
+    big = jnp.ones((1, 2, 256, 64))
     ops.flash_attention(small, small, small, 0.3)
     assert calls == []  # short sequence: naive path, kernel untouched
     ops.flash_attention(big, big, big, 0.3)
-    assert calls == [1024]
+    assert calls == [256]
+
+
+# ---------------------------------------------------------------------------
+# fused GEGLU transformer MLP (ops/geglu.py, round 4)
+# ---------------------------------------------------------------------------
+
+
+def _geglu_inputs(m=512, c=128, f_mult=4, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    f = c * f_mult
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2,
+                                dtype)
+    return (mk(m, c), mk(c), mk(c), mk(c, 2 * f), mk(2 * f), mk(f, c), mk(c))
+
+
+def test_fused_geglu_matches_reference_interpret():
+    """Streaming-accumulation kernel (interpret mode on CPU) == plain-XLA
+    reference formula; f32 path is the exact module math."""
+    from medfusion_tpu.ops.geglu import fused_geglu_mlp, geglu_mlp_reference
+
+    args = _geglu_inputs()
+    want = geglu_mlp_reference(*args)
+    got = fused_geglu_mlp(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_geglu_matches_module_path():
+    """ops switch ON vs OFF through the real BasicTransformerBlock: same
+    params, same output (f32)."""
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.nn.attention import BasicTransformerBlock
+
+    m = BasicTransformerBlock(2, 128, 4, 32,
+                              ("GROUP", {"num_groups": 8, "affine": True}))
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 16, 16, 128)).astype(np.float32) * 0.3)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    base = m.apply({"params": params}, x)
+    try:
+        ops.enable_fused_geglu(True)
+        fused = m.apply({"params": params}, x)
+    finally:
+        ops.enable_fused_geglu(False)
+    # param tree must be IDENTICAL under the switch (converter contract)
+    params2 = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_geglu_grads_match_reference():
+    from medfusion_tpu.ops.geglu import fused_geglu_mlp, geglu_mlp_reference
+
+    args = _geglu_inputs(m=256, c=128, seed=5)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_geglu_mlp(*a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(geglu_mlp_reference(*a) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_geglu_fallback_on_odd_shapes():
+    """Non-dividing shapes take the reference path, same answer."""
+    from medfusion_tpu.ops.geglu import fused_geglu_mlp, geglu_mlp_reference
+
+    args = _geglu_inputs(m=100, c=96, seed=7)  # c % 128 != 0
+    np.testing.assert_allclose(np.asarray(fused_geglu_mlp(*args)),
+                               np.asarray(geglu_mlp_reference(*args)),
+                               atol=1e-6)
+
+
+def test_fused_geglu_bf16_close():
+    from medfusion_tpu.ops.geglu import fused_geglu_mlp, geglu_mlp_reference
+
+    args = _geglu_inputs(m=256, c=128, dtype=jnp.bfloat16, seed=9)
+    want = geglu_mlp_reference(*args).astype(jnp.float32)
+    got = fused_geglu_mlp(*args).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)

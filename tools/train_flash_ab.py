@@ -5,11 +5,17 @@ Protocol: the flagship chest train program (B=32, fp32, frozen-VAE encode of
 256^2 inputs included — CLAUDE.md "Training throughput") with
 use_attention='spatial' so the top level runs 1024-token softmax attention on
 BOTH the forward and backward graph. The ops wrapper's shape-aware dispatch
-(MIN_KV_TOKENS=1024) routes exactly that level to the kernel; the 16-256-token
-lower levels stay on XLA where the kernel measures slower.
+(MIN_KV_TOKENS, 256 since round 4) routes the 1024- and 256-token levels to
+the kernel; the 16-64-token levels stay on XLA where the kernel measures
+slower.
 
 Run alone (two large remote compiles):
-  python tools/train_flash_ab.py [--batch 32] [--steps 20]
+  python tools/train_flash_ab.py [--batch 32] [--steps 20] [--remat] [--bf16]
+
+``--remat`` rematerializes each conv/attention stage under grad
+(jax.checkpoint, the UNet's own switch) — the round-3 verdict #4 lever for
+fitting B=32 with attention in v5e HBM: flash already avoids the [N,N]
+probability matrix; remat drops the per-stage activations too.
 """
 
 import argparse
@@ -36,11 +42,11 @@ from medfusion_tpu.train import TrainState, make_diffusion_train_step  # noqa: E
 import medfusion_tpu.ops as ops  # noqa: E402
 
 
-def build(batch):
+def build(batch, remat=False):
     unet = UNet(in_ch=8, out_ch=8, hid_chs=(256, 256, 512, 1024),
                 kernel_sizes=(3, 3, 3, 3), strides=(1, 2, 2, 2),
                 time_emb_dim=1024, cond_emb_num_classes=2,
-                deep_supervision=0, use_attention="spatial")
+                deep_supervision=0, use_attention="spatial", remat=remat)
     vae = VAE(in_channels=3, out_channels=3, emb_channels=8,
               hid_chs=(64, 128, 256, 512), deep_supervision=0)
     sched = GaussianDiffusionSchedule.create(
@@ -88,6 +94,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each conv/attention stage (memory "
+                         "for FLOPs; the B=32-with-attention enabler)")
     ap.add_argument("--bf16", action="store_true",
                     help="run BOTH arms in mixed-precision bf16 (composes "
                          "the two measured optimizations; the flash kernel "
@@ -96,7 +105,7 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else None
     prec = "bf16" if args.bf16 else "fp32"
 
-    pipe, state, vae_params, batch_data = build(args.batch)
+    pipe, state, vae_params, batch_data = build(args.batch, args.remat)
 
     ops.enable_flash_attention(False)
     dt_xla, loss_xla = time_steps(pipe, state, vae_params, batch_data,
@@ -109,8 +118,8 @@ def main():
     print(f"# flash: {dt_flash*1e3:.1f} ms/step  loss={loss_flash:.4f}", flush=True)
 
     print(json.dumps({
-        "metric": "chest spatial-attention train step (B=%d, %s, incl VAE encode)"
-                  % (args.batch, prec),
+        "metric": "chest spatial-attention train step (B=%d, %s%s, incl VAE encode)"
+                  % (args.batch, prec, ", remat" if args.remat else ""),
         "xla_ms": round(dt_xla * 1e3, 2),
         "flash_ms": round(dt_flash * 1e3, 2),
         "speedup": round(dt_xla / dt_flash, 4),
