@@ -39,15 +39,16 @@ def compute_attention(q, k, v, num_heads: int, scale: float):
     """
     from medfusion_tpu import ops
 
+    if ops.flash_attention_enabled():
+        # token-layout kernel: all heads in one program instance, no
+        # b n (h d) <-> b h n d HBM transposes (round-4 measured win)
+        return ops.flash_attention_tokens(q, k, v, num_heads, scale)
+    from medfusion_tpu.ops.flash_attention import naive_attention
+
     q = rearrange(q, "b n (h d) -> b h n d", h=num_heads)
     k = rearrange(k, "b n (h d) -> b h n d", h=num_heads)
     v = rearrange(v, "b n (h d) -> b h n d", h=num_heads)
-    if ops.flash_attention_enabled():
-        out = ops.flash_attention(q, k, v, scale)
-    else:
-        from medfusion_tpu.ops.flash_attention import naive_attention
-
-        out = naive_attention(q, k, v, scale)
+    out = naive_attention(q, k, v, scale)
     return rearrange(out, "b h n d -> b n (h d)")
 
 

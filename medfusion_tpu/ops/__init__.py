@@ -41,7 +41,28 @@ def flash_attention(q, k, v, scale):
     return _FA_IMPL(q, k, v, scale)
 
 
+def flash_attention_tokens(q, k, v, num_heads, scale):
+    """Token-layout flash attention: q/k/v [B, N, H*D] (the layout the
+    transformer blocks hold) — the Mosaic kernel computes every head in one
+    program instance, so no b n (h d) <-> b h n d transposes touch HBM.
+    Same shape-aware dispatch as :func:`flash_attention`: short KV takes the
+    naive XLA path (whose transposes XLA fuses into the surrounding graph)."""
+    if k.shape[1] < _MIN_KV_TOKENS:
+        b, n, hd = q.shape
+        m = k.shape[1]
+        d = hd // num_heads
+
+        def split_heads(x):
+            bb, nn, _ = x.shape
+            return x.reshape(bb, nn, num_heads, d).transpose(0, 2, 1, 3)
+
+        out = _NAIVE(split_heads(q), split_heads(k), split_heads(v), scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+    return _FAT_IMPL(q, k, v, num_heads, scale)
+
+
 _FLASH_WRAPPER = flash_attention
+_FLASH_TOKENS_WRAPPER = flash_attention_tokens
 
 # Import the kernel submodule ONCE, eagerly. The initial submodule load binds
 # the module object over this package's same-named wrapper ("'module' object
@@ -51,10 +72,12 @@ _FLASH_WRAPPER = flash_attention
 from medfusion_tpu.ops.flash_attention import (  # noqa: E402
     MIN_KV_TOKENS as _MIN_KV_TOKENS,
     flash_attention as _FA_IMPL,
+    flash_attention_tokens as _FAT_IMPL,
     naive_attention as _NAIVE,
 )
 
 flash_attention = _FLASH_WRAPPER
+flash_attention_tokens = _FLASH_TOKENS_WRAPPER
 
 
 def fused_group_norm_silu(x, scale, bias, num_groups, eps=1e-5, apply_silu=True,

@@ -294,3 +294,144 @@ def flash_attention(
     vf = v.reshape(b * h, m, d)
     out = _flash(qf, kf, vf, scale, block_q, block_k, interpret)
     return out.reshape(b, h, n, d)
+
+
+# ---------------------------------------------------------------------------
+# Token-layout multi-head kernel (round 4): [B, N, H*D] in, [B, N, H*D] out.
+# One program instance per (batch, q-block) computes ALL heads from the
+# layout the transformer blocks naturally hold, so the b n (h d) -> b h n d
+# rearrange transposes (2 HBM round-trips of every operand) disappear, and
+# per-instance overheads amortize across heads. The per-head math is the
+# same online-softmax recurrence as _fwd_kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_mha_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                    num_heads: int, block_k: int, n_kv: int):
+    in_dt = q_ref.dtype
+    hd = q_ref.shape[-1]
+    d = hd // num_heads
+    num_kv = n_kv // block_k
+    sc = jnp.asarray(scale, in_dt)
+    lses = []
+    for h in range(num_heads):  # static unroll; lane-offset slices stay in VMEM
+        lo = h * d
+        q = q_ref[0, :, lo:lo + d] * sc
+        bq = q.shape[0]
+
+        def body(i, carry, lo=lo):
+            m_prev, l_prev, acc = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), lo:lo + d] * sc
+            v = v_ref[0, pl.ds(i * block_k, block_k), lo:lo + d]
+            s = _dot(q, k, ((1,), (1,)))  # [BQ, BK] f32
+            m_cur = jnp.max(s, axis=1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1)
+            acc = acc * alpha[:, None] + _dot(p.astype(in_dt), v, ((1,), (0,)))
+            return m_new, l_new, acc
+
+        m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq,), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m_fin, l_fin, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+        o_ref[0, :, lo:lo + d] = (acc / l_fin[:, None]).astype(o_ref.dtype)
+        lses.append((m_fin + jnp.log(l_fin))[:, None])
+    lse_ref[0] = jnp.concatenate(lses, axis=1).astype(lse_ref.dtype)
+
+
+def _fwd_mha_call(q, k, v, num_heads, scale, block_q, block_k, interpret):
+    b, n, hd = q.shape
+    m = k.shape[1]
+    kernel = functools.partial(_fwd_mha_kernel, scale=scale,
+                               num_heads=num_heads, block_k=block_k, n_kv=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, num_heads), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n, num_heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _to_bhnd(x, num_heads):
+    b, n, hd = x.shape
+    d = hd // num_heads
+    return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3).reshape(
+        b * num_heads, n, d)
+
+
+def _from_bhnd(x, b, num_heads):
+    bh, n, d = x.shape
+    return x.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(
+        b, n, num_heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_mha(q, k, v, num_heads, scale, block_q, block_k, interpret):
+    o, _ = _fwd_mha_call(q, k, v, num_heads, scale, block_q, block_k,
+                         interpret)
+    return o
+
+
+def _flash_mha_fwd(q, k, v, num_heads, scale, block_q, block_k, interpret):
+    o, lse = _fwd_mha_call(q, k, v, num_heads, scale, block_q, block_k,
+                           interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_mha_bwd(num_heads, scale, block_q, block_k, interpret, res, do):
+    # Backward reuses the per-head [BH, N, D] kernels; the transposes it
+    # pays sit on the training path only — sampling never runs this.
+    q, k, v, o, lse = res
+    b = q.shape[0]
+    qf, kf, vf = (_to_bhnd(x, num_heads) for x in (q, k, v))
+    of = _to_bhnd(o, num_heads)
+    dof = _to_bhnd(do, num_heads)
+    # lse [B, N, H] -> [BH, N, 1]
+    lsef = lse.transpose(0, 2, 1).reshape(b * num_heads, q.shape[1], 1)
+    dqf, dkf, dvf = _flash_bwd(scale, block_q, block_k, interpret,
+                               (qf, kf, vf, of, lsef), dof)
+    return (_from_bhnd(dqf, b, num_heads), _from_bhnd(dkf, b, num_heads),
+            _from_bhnd(dvf, b, num_heads))
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_k: int = DEFAULT_BLOCK_K,
+                           interpret: bool = False):
+    """Token-layout flash attention: q [B, N, H*D], k/v [B, M, H*D] ->
+    [B, N, H*D] — no head transposes on the forward path. Differentiable
+    (backward routes through the per-head kernels). Falls back to
+    rearrange + :func:`flash_attention` (which itself falls back to naive
+    XLA for non-dividing shapes) whenever the blocking does not divide."""
+    b, n, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
+    bq = min(block_q, n)
+    bk = min(block_k, m)
+    if (hd % num_heads or n % bq or m % bk or m < 8 or d % 8
+            or hd % 128):
+        qh = _to_bhnd(q, num_heads).reshape(b, num_heads, n, d)
+        kh = _to_bhnd(k, num_heads).reshape(b, num_heads, m, d)
+        vh = _to_bhnd(v, num_heads).reshape(b, num_heads, m, d)
+        out = flash_attention(qh, kh, vh, scale, block_q=block_q,
+                              block_k=block_k, interpret=interpret)
+        return _from_bhnd(out.reshape(b * num_heads, n, d), b, num_heads)
+    interpret = interpret or jax.default_backend() == "cpu"
+    return _flash_mha(q, k, v, num_heads, scale, bq, bk, interpret)

@@ -52,6 +52,24 @@ def _gelu_exact_f32(x):
     return x * 0.5 * (1.0 + jax.lax.erf(x / _SQRT2))
 
 
+def _erf_approx_f32(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7 — far
+    below the bf16 rounding the production path carries). Mosaic has no
+    ``erf`` lowering (NotImplementedError at compile), so the kernel uses
+    this; the XLA reference keeps the exact erf."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_kernel_f32(x):
+    return x * 0.5 * (1.0 + _erf_approx_f32(x / _SQRT2))
+
+
 def _layernorm_f32(x, scale, bias, eps=1e-5):
     """flax nn.LayerNorm(use_fast_variance=True) math in f32."""
     xf = x.astype(jnp.float32)
@@ -92,7 +110,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref,
     # round at the XLA path's own rounding points, then gate in f32
     h = h.astype(in_dt).astype(jnp.float32)
     gate = gate.astype(in_dt).astype(jnp.float32)
-    g = (h * _gelu_exact_f32(gate)).astype(in_dt)
+    g = (h * _gelu_kernel_f32(gate)).astype(in_dt)
     acc_scratch[...] += _dot(g, w2_ref[...])
 
     @pl.when(j == n_f_blocks - 1)

@@ -2,6 +2,7 @@
 on CPU; the same kernels compile for TPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -307,3 +308,90 @@ def test_fused_geglu_bf16_close():
     got = fused_geglu_mlp(*args).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# token-layout multi-head flash kernel (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _tok_inputs(b=2, n=256, m=None, heads=4, d=32, dtype=jnp.float32, seed=11):
+    rng = np.random.default_rng(seed)
+    m = n if m is None else m
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5,
+                                dtype)
+    return mk(b, n, heads * d), mk(b, m, heads * d), mk(b, m, heads * d)
+
+
+def _tok_reference(q, k, v, heads, scale):
+    from medfusion_tpu.ops.flash_attention import naive_attention
+
+    b, n, hd = q.shape
+    d = hd // heads
+    sh = lambda x: x.reshape(x.shape[0], x.shape[1], heads, d).transpose(0, 2, 1, 3)
+    out = naive_attention(sh(q), sh(k), sh(v), scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@pytest.mark.parametrize("n,m,heads,d", [(256, 256, 4, 32), (256, 128, 4, 32),
+                                         (512, 256, 8, 16), (256, 256, 2, 64)])
+def test_flash_tokens_matches_reference(n, m, heads, d):
+    from medfusion_tpu.ops.flash_attention import flash_attention_tokens
+
+    q, k, v = _tok_inputs(n=n, m=m, heads=heads, d=d)
+    scale = d ** -0.25
+    want = _tok_reference(q, k, v, heads, scale)
+    got = flash_attention_tokens(q, k, v, heads, scale, block_q=128,
+                                 block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_tokens_grads_match_reference():
+    from medfusion_tpu.ops.flash_attention import flash_attention_tokens
+
+    q, k, v = _tok_inputs(n=256, m=128, heads=4, d=32, seed=13)
+    scale = 32 ** -0.25
+
+    def loss_k(q, k, v):
+        return jnp.sum(flash_attention_tokens(q, k, v, 4, scale,
+                                              block_q=128, block_k=64) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_tok_reference(q, k, v, 4, scale) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_flash_tokens_fallback_single_kv_and_odd():
+    from medfusion_tpu.ops.flash_attention import flash_attention_tokens
+
+    # single-token KV (cross-attention) and odd head dim -> rearrange+naive
+    q, k, v = _tok_inputs(n=64, m=1, heads=4, d=24)
+    scale = 24 ** -0.25
+    got = flash_attention_tokens(q, k, v, 4, scale)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_tok_reference(q, k, v, 4, scale)),
+                               atol=1e-5)
+
+
+def test_ops_tokens_wrapper_dispatches_by_kv_length(monkeypatch):
+    import medfusion_tpu.ops as ops
+
+    calls = []
+
+    def fake_impl(q, k, v, num_heads, scale):
+        calls.append(k.shape[1])
+        return q
+
+    monkeypatch.setattr(ops, "_FAT_IMPL", fake_impl)
+    small = jnp.ones((1, 64, 128))
+    big = jnp.ones((1, 256, 128))
+    ops.flash_attention_tokens(small, small, small, 4, 0.3)
+    assert calls == []
+    ops.flash_attention_tokens(big, big, big, 4, 0.3)
+    assert calls == [256]

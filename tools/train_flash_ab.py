@@ -94,6 +94,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--fused-geglu", action="store_true",
+                    help="also enable the fused GEGLU-MLP kernel in the "
+                         "flash arm (fwd kernel + XLA-recompute backward)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint each conv/attention stage (memory "
                          "for FLOPs; the B=32-with-attention enabler)")
@@ -113,6 +116,8 @@ def main():
     print(f"# xla:   {dt_xla*1e3:.1f} ms/step  loss={loss_xla:.4f}", flush=True)
 
     ops.enable_flash_attention(True)
+    if args.fused_geglu:
+        ops.enable_fused_geglu(True)
     dt_flash, loss_flash = time_steps(pipe, state, vae_params, batch_data,
                                       args.steps, dtype)
     print(f"# flash: {dt_flash*1e3:.1f} ms/step  loss={loss_flash:.4f}", flush=True)
