@@ -280,6 +280,12 @@ def flash_attention(
     """
     b, h, n, d = q.shape
     m = k.shape[2]
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        # f32 operands double every VMEM-resident block; full 1024 blocks
+        # exceed the 16 MB scoped-vmem budget on v5e. 512 is the measured
+        # round-3 f32 sweet spot (the bf16 sampling path keeps full blocks).
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, n)
     block_k = min(block_k, m)
     # fall back when the blocking doesn't divide OR the KV side is tiny
@@ -423,6 +429,11 @@ def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
     b, n, hd = q.shape
     m = k.shape[1]
     d = hd // num_heads
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        # the static head unroll multiplies live [BQ, BK] f32 buffers;
+        # 256-blocks keep the f32 training path inside the 16 MB
+        # scoped-vmem budget (observed 35.5 MB at full blocks)
+        block_q, block_k = min(block_q, 256), min(block_k, 256)
     bq = min(block_q, n)
     bk = min(block_k, m)
     if (hd % num_heads or n % bq or m % bk or m < 8 or d % 8

@@ -123,6 +123,15 @@ def distill_pd(pipe, teacher, vae_params, z_all, y_all):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-pd", action="store_true",
+                    help="run only the teacher-B + consistency-distillation "
+                         "half (the pd half of the recorded table comes from "
+                         "a prior full run)")
+    args = ap.parse_args()
+
     assert jax.device_count() >= 8
     x, y = dataset_arrays()
     real_u8 = to_uint8(x)
@@ -130,27 +139,34 @@ def main():
 
     # ---------------- teacher A: zero-SNR v (quality_loop config) ---------
     pipe, unet = build_pipe(vae)
-    teacher = train_diffusion(pipe, unet, vae_params, x, y)
-    z_all = encode_all(pipe, vae_params, x)
-
     results = {}
-    f50, _, _ = evaluate(real_u8, to_uint8(
-        sample_ddim(pipe, teacher, vae_params, 50, "teacher@50")))
-    results["teacher_50step_fid"] = round(f50, 2)
-    for s in (4, 1):
-        f, _, _ = evaluate(real_u8, to_uint8(
-            sample_ddim(pipe, teacher, vae_params, s, f"teacher@{s}")))
-        results[f"teacher_{s}step_fid"] = round(f, 2)
+    if not args.skip_pd:
+        teacher = train_diffusion(pipe, unet, vae_params, x, y)
+        z_all = encode_all(pipe, vae_params, x)
 
-    students = distill_pd(pipe, teacher, vae_params, z_all, y)
-    for s in (4, 1):
-        f, _, _ = evaluate(real_u8, to_uint8(
-            sample_ddim(pipe, students[s], vae_params, s, f"pd-student@{s}")))
-        results[f"pd_student_{s}step_fid"] = round(f, 2)
+        f50, _, _ = evaluate(real_u8, to_uint8(
+            sample_ddim(pipe, teacher, vae_params, 50, "teacher@50")))
+        results["teacher_50step_fid"] = round(f50, 2)
+        for s in (4, 1):
+            f, _, _ = evaluate(real_u8, to_uint8(
+                sample_ddim(pipe, teacher, vae_params, s, f"teacher@{s}")))
+            results[f"teacher_{s}step_fid"] = round(f, 2)
+
+        students = distill_pd(pipe, teacher, vae_params, z_all, y)
+        for s in (4, 1):
+            f, _, _ = evaluate(real_u8, to_uint8(
+                sample_ddim(pipe, students[s], vae_params, s, f"pd-student@{s}")))
+            results[f"pd_student_{s}step_fid"] = round(f, 2)
 
     # ---------------- teacher B: standard schedule (CD needs finite sigma) -
+    # T=1000: at T=200 the reference beta range leaves abar_T ~ 0.11 — the
+    # 11%% terminal signal gap that wrecks toy runs (quality_loop docstring);
+    # the first recorded attempt's teacher B hit FID 4.3 (~untrained) for
+    # exactly this reason and CD faithfully distilled the bad teacher.
+    # T=1000 leaves abar_T ~ 3e-5: near-zero gap, sigma_max still finite so
+    # CD's k-space construction stands.
     sched_b = GaussianDiffusionSchedule.create(
-        timesteps=200, schedule_strategy="scaled_linear",
+        timesteps=1000, schedule_strategy="scaled_linear",
         beta_start=0.002, beta_end=0.02)
     import dataclasses
     pipe_b = dataclasses.replace(pipe, scheduler=sched_b)
@@ -195,9 +211,10 @@ def main():
             cd_sample(state.params, s, f"cd-student@{s}")))
         results[f"cd_student_{s}step_fid"] = round(f, 2)
 
-    ok = (results["pd_student_1step_fid"] < results["teacher_1step_fid"]
-          and results["pd_student_4step_fid"] < results["teacher_4step_fid"]
-          and results["cd_student_1step_fid"] < results["teacherB_f_1step_fid"])
+    ok = (results["cd_student_1step_fid"] < results["teacherB_f_1step_fid"])
+    if not args.skip_pd:
+        ok = (ok and results["pd_student_1step_fid"] < results["teacher_1step_fid"]
+              and results["pd_student_4step_fid"] < results["teacher_4step_fid"])
     results["distillation_beats_fewstep_baselines"] = ok
     results["protocol"] = (
         "toy distill demo: quality_loop stack; FID featurizer = 4x4-pooled "

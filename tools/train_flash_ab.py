@@ -71,9 +71,16 @@ def build(batch, remat=False):
 
 
 def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype=None):
-    step = make_diffusion_train_step(pipe, donate=False,
+    # donate=True (the train CLIs' default): without donation the async
+    # dispatch queue below keeps EVERY in-flight step's full state alive —
+    # that, not model capacity, is what produced round 3's "B=32 with
+    # attention exceeds v5e HBM" (RESOURCE_EXHAUSTED mid-loop after a clean
+    # warmup). Donation holds exactly one state. The incoming state is
+    # copied first so the second A/B arm gets fresh, undonated buffers.
+    state = jax.tree_util.tree_map(jnp.array, state)
+    step = make_diffusion_train_step(pipe, donate=True,
                                      compute_dtype=compute_dtype)
-    jstep = jax.jit(step)
+    jstep = step
     # warm (compile)
     s, m = jstep(state, vae_params, batch_data,
                  jax.random.PRNGKey(0))
