@@ -162,6 +162,10 @@ def main(argv=None):
     ap.add_argument("--cd-ema", action="store_true",
                     help="EMA target network (paper Alg. 2; default uses the "
                          "stop-gradient student, arXiv:2310.14189)")
+    ap.add_argument("--cd-solver", choices=("euler", "heun"), default="heun",
+                    help="teacher ODE step Phi for CD (paper Alg. 2; heun = "
+                         "the CM paper's default, one extra teacher forward "
+                         "for an O(h^2) target)")
     ap.add_argument("--teacher-guidance", type=float, default=1.0,
                     help="fixed-weight guided distillation "
                          "(arXiv:2210.03142): the teacher rollout uses the "
@@ -275,6 +279,7 @@ def main(argv=None):
             pipe, n_grid=args.cd_grid, sigma_data=args.cd_sigma_data,
             huber_c=args.cd_huber,
             teacher_guidance_scale=args.teacher_guidance,
+            solver=args.cd_solver,
             compute_dtype=jnp.bfloat16 if args.bf16 else None)
         state = TrainState.create(teacher, optax.adamw(lr, weight_decay=1e-2),
                                   use_ema=args.cd_ema)

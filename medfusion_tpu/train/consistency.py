@@ -114,6 +114,7 @@ def make_consistency_distillation_loss(
     sigma_data: float = 0.5,
     huber_c: Optional[float] = None,
     teacher_guidance_scale: float = 1.0,
+    solver: str = "euler",
 ) -> Callable:
     """Returns ``loss_fn(student_params, target_params, teacher_params,
     batch, rng) -> (loss, metrics)``.
@@ -123,6 +124,11 @@ def make_consistency_distillation_loss(
       metric sqrt(||.||^2 + c^2) - c (arXiv:2310.14189; c ~ 0.00054*sqrt(D)).
     * ``teacher_guidance_scale`` — CFG-combined teacher (guided consistency
       distillation; ``batch['un_cond']`` supplies negatives).
+    * ``solver`` — the teacher ODE step Phi (paper Alg. 2): ``"euler"`` (one
+      probability-flow Euler step) or ``"heun"`` (2nd-order Heun, the CM
+      paper's experimental default following EDM — one extra teacher forward,
+      but O(h^2) target bias instead of O(h), which matters on coarse Karras
+      grids whose top-level gaps span tens of sigma).
     ``batch['source']`` is an x_0 in the diffusion working space (like
     :mod:`~medfusion_tpu.train.distillation`)."""
     sched = pipeline.scheduler
@@ -139,6 +145,8 @@ def make_consistency_distillation_loss(
             "zero-terminal-SNR schedules); use a standard schedule")
     if n_grid < 2:
         raise ValueError("n_grid must be >= 2")
+    if solver not in ("euler", "heun"):
+        raise ValueError(f"solver must be 'euler' or 'heun', got {solver!r}")
 
     def teacher_x0(params_tree, x_k, sigma, condition, un_cond):
         return _x0_from_model(pipeline, params_tree, x_k, sigma, condition,
@@ -161,11 +169,18 @@ def make_consistency_distillation_loss(
         eps = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
         x_hi = x_0 + _bcast(s_hi, x_0.ndim, b) * eps
 
-        # one teacher probability-flow Euler step sigma_{n+1} -> sigma_n
+        # one teacher probability-flow ODE step sigma_{n+1} -> sigma_n
         teacher_tree = {"noise_estimator": jax.lax.stop_gradient(teacher_params)}
+        h = _bcast(s_lo - s_hi, x_0.ndim, b)
         d = (x_hi - teacher_x0(teacher_tree, x_hi, s_hi, condition, un_cond)) \
             / _bcast(s_hi, x_0.ndim, b)
-        x_lo = x_hi + _bcast(s_lo - s_hi, x_0.ndim, b) * d
+        x_lo = x_hi + h * d
+        if solver == "heun":
+            # 2nd-order correction at (x_lo_euler, sigma_n); sigma_n >= the
+            # grid's sigma_min > 0 so the slope is always well-defined
+            d2 = (x_lo - teacher_x0(teacher_tree, x_lo, s_lo, condition,
+                                    un_cond)) / _bcast(s_lo, x_0.ndim, b)
+            x_lo = x_hi + h * 0.5 * (d + d2)
 
         f_student = consistency_function(
             pipeline, {"noise_estimator": student_params}, x_hi, s_hi,
@@ -195,6 +210,7 @@ def make_consistency_train_step(
     sigma_data: float = 0.5,
     huber_c: Optional[float] = None,
     teacher_guidance_scale: float = 1.0,
+    solver: str = "euler",
     donate: bool = False,
     compute_dtype=None,
 ) -> Callable:
@@ -207,7 +223,8 @@ def make_consistency_train_step(
     if compute_dtype is not None:
         pipeline = dataclasses.replace(pipeline, compute_dtype=compute_dtype)
     base_loss = make_consistency_distillation_loss(
-        pipeline, n_grid, rho, sigma_data, huber_c, teacher_guidance_scale)
+        pipeline, n_grid, rho, sigma_data, huber_c, teacher_guidance_scale,
+        solver)
 
     def loss_fn(student_params, target_params, teacher_params, batch, rng):
         if compute_dtype is not None:

@@ -186,6 +186,51 @@ def test_cd_loss_contracts():
                                 estimator_objective="v")
     with pytest.raises(ValueError, match="zero-terminal-SNR"):
         make_consistency_distillation_loss(zpipe)
+    with pytest.raises(ValueError, match="solver"):
+        make_consistency_distillation_loss(pipe_s, solver="rk4")
+
+
+def test_cd_heun_matches_euler_on_exact_teacher():
+    """With the EXACT x0-teacher every probability-flow trajectory is
+    straight (x_sigma = x0 + sigma*eps, so d = (x-x0)/sigma is constant in
+    sigma along it): the Heun correction slope d2 equals the Euler slope d
+    and both solvers produce bit-identical targets — hence identical losses
+    for the same rng."""
+    pipe_s, pipe_t, x0, _ = _oracle_setup()
+    b = 8
+    batch = {"source": jnp.broadcast_to(jnp.asarray(x0), (b, 4, 4, 1))}
+    rng = jax.random.PRNGKey(3)
+    le, _ = make_consistency_distillation_loss(pipe_t, n_grid=12,
+                                               solver="euler")({}, {}, {},
+                                                               batch, rng)
+    lh, _ = make_consistency_distillation_loss(pipe_t, n_grid=12,
+                                               solver="heun")({}, {}, {},
+                                                              batch, rng)
+    # F = x0 is NOT the exact consistency function, so the loss is nonzero —
+    # the equality is about the solver, not a trivial 0 == 0
+    assert float(le) > 1e-4
+    np.testing.assert_allclose(float(le), float(lh), rtol=1e-6)
+
+
+def test_cd_heun_differs_from_euler_on_curved_teacher():
+    """A state-dependent teacher prediction curves the ODE, so the Heun
+    midpoint correction must change the target (proves the second slope is
+    actually evaluated, not dead code)."""
+    sched = _sched()
+    pipe = DiffusionPipeline(scheduler=sched, noise_estimator=_AnyF(),
+                             estimator_objective="x_0", clip_x0=False,
+                             do_input_centering=False)
+    rng = jax.random.PRNGKey(5)
+    b = 8
+    batch = {"source": jnp.asarray(np.random.default_rng(9).uniform(
+        -0.8, 0.8, (b, 4, 4, 1)).astype(np.float32))}
+    le, _ = make_consistency_distillation_loss(pipe, n_grid=12,
+                                               solver="euler")({}, {}, {},
+                                                               batch, rng)
+    lh, _ = make_consistency_distillation_loss(pipe, n_grid=12,
+                                               solver="heun")({}, {}, {},
+                                                              batch, rng)
+    assert abs(float(le) - float(lh)) > 1e-6
 
 
 def test_cd_cli_smoke(tmp_path):

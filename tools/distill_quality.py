@@ -177,12 +177,20 @@ def main():
 
     cond = jnp.asarray([i % CLASSES for i in range(N_FAKE)], jnp.int32)
 
+    # encode the training latents ONCE; sigma_data = the MEASURED latent std
+    # (the c_skip/c_out boundary parameterization assumes sigma_data is the
+    # data scale — the 0.5 default is EDM's image normalization, not ours)
+    z_all_b = encode_all(pipe_b, vae_params, x)
+    sd = float(jnp.std(z_all_b))
+    print(f"# latent std (sigma_data) = {sd:.4f}", flush=True)
+
     def cd_sample(est_params, steps, tag):
         params = {"noise_estimator": est_params, "latent_embedder": vae_params}
         run = jax.jit(lambda p, r: consistency_sample(
             pipe_b, p, jax.random.normal(jax.random.fold_in(r, 1),
                                          (N_FAKE, *LAT)),
-            rng=jax.random.fold_in(r, 2), steps=steps, condition=cond))
+            rng=jax.random.fold_in(r, 2), steps=steps, condition=cond,
+            sigma_data=sd))
         t0 = time.time()
         out = np.asarray(run(params, jax.random.PRNGKey(43)))
         print(f"# cd-sample[{tag}]: {N_FAKE} imgs, {steps} step(s) in "
@@ -194,15 +202,21 @@ def main():
     fb1, _, _ = evaluate(real_u8, to_uint8(cd_sample(teacher_b, 1, "teacherB-f@1")))
     results["teacherB_f_1step_fid"] = round(fb1, 2)
 
-    step = make_consistency_train_step(pipe_b, n_grid=18, huber_c=0.03)
-    state = TrainState.create(teacher_b, optax.adamw(1e-3))
+    # Heun teacher step (paper default; O(h^2) target on the coarse Karras
+    # grid), EMA target network (paper Alg. 2, mu=0.95 at N=18), measured
+    # sigma_data — the euler/no-EMA/0.5 first attempt stalled at FID 1.16
+    # vs the 0.3 one-step baseline
+    step = make_consistency_train_step(
+        pipe_b, n_grid=18, sigma_data=sd, huber_c=0.03, solver="heun")
+    state = TrainState.create(teacher_b, optax.adamw(4e-4), use_ema=True,
+                              ema_kwargs={"min_value": 0.95,
+                                          "max_value": 0.95})
     t0 = time.time()
     for it in range(CD_ITERS):
         idx = np.random.default_rng(70_000 + it).choice(N_REAL, BATCH,
                                                         replace=False)
         state, m = step(state, teacher_b,
-                        {"source": encode_all(pipe_b, vae_params, x[idx]),
-                         "target": y[idx]},
+                        {"source": z_all_b[idx], "target": y[idx]},
                         jax.random.fold_in(KEY, 300_000 + it))
     print(f"# cd: {CD_ITERS} iters in {time.time()-t0:.0f}s "
           f"loss={float(m['loss']):.5f}", flush=True)
