@@ -70,6 +70,31 @@ def build(batch, remat=False):
     return pipe, state, vae_params, batch_data
 
 
+def mem_analysis(pipe, state, vae_params, batch_data, compute_dtype=None):
+    """Compile (no execution) and print XLA's HBM accounting — how the
+    RESOURCE_EXHAUSTED arms get their 'documented HBM accounting showing it
+    truly cannot fit' without a single step running."""
+    step = make_diffusion_train_step(pipe, donate=True,
+                                     compute_dtype=compute_dtype)
+    comp = step.lower(state, vae_params, batch_data,
+                      jax.random.PRNGKey(0)).compile()
+    ma = comp.memory_analysis()
+    if ma is None:
+        print("# memory_analysis unavailable on this backend", flush=True)
+        return None
+    rec = {k: round(getattr(ma, k) / 2**30, 3)
+           for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                     "temp_size_in_bytes", "generated_code_size_in_bytes")
+           if hasattr(ma, k)}
+    # donation aliases args onto outputs, so peak ~ max(arg,out) + temp
+    peak = (max(rec.get("argument_size_in_bytes", 0),
+                rec.get("output_size_in_bytes", 0))
+            + rec.get("temp_size_in_bytes", 0))
+    rec["est_peak_gib"] = round(peak, 3)
+    print("# mem:", json.dumps(rec), flush=True)
+    return rec
+
+
 def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype=None):
     # donate=True (the train CLIs' default): without donation the async
     # dispatch queue below keeps EVERY in-flight step's full state alive —
@@ -94,6 +119,13 @@ def time_steps(pipe, state, vae_params, batch_data, n_steps, compute_dtype=None)
         s, m = jstep(s, vae_params, batch_data, jax.random.PRNGKey(i + 1))
     loss = float(m["loss"])  # single sync
     dt = (time.perf_counter() - t0) / n_steps
+    try:  # HBM accounting for the PARITY record (axon may not expose it)
+        st = jax.local_devices()[0].memory_stats() or {}
+        peak = st.get("peak_bytes_in_use")
+        if peak:
+            print(f"# peak HBM: {peak/2**30:.2f} GiB", flush=True)
+    except Exception:
+        pass
     return dt, loss
 
 
@@ -111,32 +143,62 @@ def main():
                     help="run BOTH arms in mixed-precision bf16 (composes "
                          "the two measured optimizations; the flash kernel "
                          "then sees bf16 q/k/v)")
+    ap.add_argument("--arm", choices=("both", "xla", "flash"), default="both",
+                    help="run one arm per PROCESS at the HBM edge: with "
+                         "'both', arm 2 shares HBM with arm 1's loaded "
+                         "executable + final state — at B=32 that overhead "
+                         "is the difference between fitting and "
+                         "RESOURCE_EXHAUSTED")
+    ap.add_argument("--mem-only", action="store_true",
+                    help="compile each requested arm and print XLA's HBM "
+                         "accounting WITHOUT executing (for arms that "
+                         "RESOURCE_EXHAUST at runtime)")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.bf16 else None
     prec = "bf16" if args.bf16 else "fp32"
 
     pipe, state, vae_params, batch_data = build(args.batch, args.remat)
 
-    ops.enable_flash_attention(False)
-    dt_xla, loss_xla = time_steps(pipe, state, vae_params, batch_data,
-                                  args.steps, dtype)
-    print(f"# xla:   {dt_xla*1e3:.1f} ms/step  loss={loss_xla:.4f}", flush=True)
+    if args.mem_only:
+        for arm in (("xla", "flash") if args.arm == "both" else (args.arm,)):
+            ops.enable_flash_attention(arm == "flash")
+            if arm == "flash" and args.fused_geglu:
+                ops.enable_fused_geglu(True)
+            print(f"# arm={arm} B={args.batch} {prec}"
+                  f"{' remat' if args.remat else ''}", flush=True)
+            mem_analysis(pipe, state, vae_params, batch_data, dtype)
+        return
 
-    ops.enable_flash_attention(True)
-    if args.fused_geglu:
-        ops.enable_fused_geglu(True)
-    dt_flash, loss_flash = time_steps(pipe, state, vae_params, batch_data,
+    dt_xla = dt_flash = None
+    if args.arm in ("both", "xla"):
+        ops.enable_flash_attention(False)
+        dt_xla, loss_xla = time_steps(pipe, state, vae_params, batch_data,
                                       args.steps, dtype)
-    print(f"# flash: {dt_flash*1e3:.1f} ms/step  loss={loss_flash:.4f}", flush=True)
+        print(f"# xla:   {dt_xla*1e3:.1f} ms/step  loss={loss_xla:.4f}",
+              flush=True)
 
-    print(json.dumps({
+    if args.arm in ("both", "flash"):
+        ops.enable_flash_attention(True)
+        if args.fused_geglu:
+            ops.enable_fused_geglu(True)
+        dt_flash, loss_flash = time_steps(pipe, state, vae_params, batch_data,
+                                          args.steps, dtype)
+        print(f"# flash: {dt_flash*1e3:.1f} ms/step  loss={loss_flash:.4f}",
+              flush=True)
+
+    rec = {
         "metric": "chest spatial-attention train step (B=%d, %s%s, incl VAE encode)"
                   % (args.batch, prec, ", remat" if args.remat else ""),
-        "xla_ms": round(dt_xla * 1e3, 2),
-        "flash_ms": round(dt_flash * 1e3, 2),
-        "speedup": round(dt_xla / dt_flash, 4),
-        "samples_per_sec_flash": round(args.batch / dt_flash, 2),
-    }))
+    }
+    if dt_xla is not None:
+        rec["xla_ms"] = round(dt_xla * 1e3, 2)
+        rec["samples_per_sec_xla"] = round(args.batch / dt_xla, 2)
+    if dt_flash is not None:
+        rec["flash_ms"] = round(dt_flash * 1e3, 2)
+        rec["samples_per_sec_flash"] = round(args.batch / dt_flash, 2)
+    if dt_xla is not None and dt_flash is not None:
+        rec["speedup"] = round(dt_xla / dt_flash, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
