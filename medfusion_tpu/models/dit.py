@@ -279,6 +279,9 @@ class DiT(nn.Module):
                 else:
                     y = y_cond
             c = c + y
+        # cast: the f32 sinusoidal embedding must not re-promote a bf16
+        # (compute_dtype) program's activations
+        c = c.astype(x.dtype)
 
         for block in self.blocks:
             x = block(x, c)

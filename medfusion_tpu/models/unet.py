@@ -240,5 +240,13 @@ class UNet(nn.Module):
         train: bool = False,
     ) -> Tuple[jnp.ndarray, list]:
         emb = self.embed(t, condition, cond_mask)
+        if emb is not None:
+            # The sinusoidal features are computed in float32; left uncast,
+            # the f32 embedding add re-promotes EVERY downstream activation
+            # of a bf16 (compute_dtype) program to f32. XLA's bf16
+            # propagation silently demotes the convs again on TPU, but the
+            # Pallas attention custom-calls are opaque to that pass and were
+            # measured running f32 dots with f32 block caps (round 4).
+            emb = emb.astype(x_t.dtype)
         skips = self.encode_features(x_t, emb, self_cond, train=train)
         return self.decode_features(skips, emb, train=train)

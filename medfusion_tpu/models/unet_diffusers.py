@@ -308,6 +308,11 @@ class UNet2DConditionDiffusers(nn.Module):
         temb = self.time_embedding_linear_2(nn.silu(
             self.time_embedding_linear_1(
                 diffusers_timestep_embedding(t, self.block_out_channels[0]))))
+        # cast: the f32 sinusoidal embedding must not re-promote a bf16
+        # (compute_dtype) program's activations
+        temb = temb.astype(x_t.dtype)
+        if context is not None:
+            context = context.astype(x_t.dtype)
 
         h = self.conv_in(x_t)
         skips = (h,)

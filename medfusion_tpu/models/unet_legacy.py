@@ -107,6 +107,10 @@ class UNetLegacy(nn.Module):
             if cond_mask is not None:
                 cond_emb = cond_emb * cond_mask.astype(cond_emb.dtype)[:, None]
         emb = save_add(time_emb, cond_emb)
+        if emb is not None:
+            # keep bf16 (compute_dtype) programs bf16: the f32 sinusoidal
+            # embedding otherwise re-promotes every downstream activation
+            emb = emb.astype(x_t.dtype)
 
         if self.use_self_conditioning:
             sc = jnp.zeros_like(x_t) if self_cond is None else self_cond

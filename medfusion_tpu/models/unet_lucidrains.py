@@ -373,7 +373,9 @@ class UNetLucidrains(nn.Module):
 
         x = self.init_conv(x_t)
         r = x
-        emb = self._time_embedding(t)
+        # cast: the f32 sinusoidal embedding must not re-promote a bf16
+        # (compute_dtype) program's activations
+        emb = self._time_embedding(t).astype(x.dtype)
 
         h = []
         for block1, block2, attn, downsample in self.downs:

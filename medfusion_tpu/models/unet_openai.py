@@ -520,6 +520,9 @@ class UNetOpenAI(nn.Module):
             if cond_mask is not None:
                 lab = lab * cond_mask.astype(lab.dtype)[:, None]
             emb = emb + lab
+        # keep bf16 (compute_dtype) programs bf16: the f32 sinusoidal
+        # embedding otherwise re-promotes every downstream activation
+        emb = emb.astype(x_t.dtype)
 
         def apply(layer, h):
             # the stem conv (input_blocks.0.0) takes no embedding; spatial
@@ -680,7 +683,7 @@ class EncoderUNetOpenAI(nn.Module):
 
     def __call__(self, x, t, train: bool = False):
         emb = self.time_embed_2(nn.silu(self.time_embed_0(
-            sd_timestep_embedding(t, self.model_channels))))
+            sd_timestep_embedding(t, self.model_channels)))).astype(x.dtype)
         spatial_axes = tuple(range(1, 1 + self.spatial_dims))
 
         results = []
