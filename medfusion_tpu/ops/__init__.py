@@ -45,19 +45,30 @@ def flash_attention_tokens(q, k, v, num_heads, scale):
     """Token-layout flash attention: q/k/v [B, N, H*D] (the layout the
     transformer blocks hold) — the Mosaic kernel computes every head in one
     program instance, so no b n (h d) <-> b h n d transposes touch HBM.
-    Same shape-aware dispatch as :func:`flash_attention`: short KV takes the
-    naive XLA path (whose transposes XLA fuses into the surrounding graph)."""
-    if k.shape[1] < _MIN_KV_TOKENS:
-        b, n, hd = q.shape
-        m = k.shape[1]
-        d = hd // num_heads
 
-        def split_heads(x):
-            bb, nn, _ = x.shape
-            return x.reshape(bb, nn, num_heads, d).transpose(0, 2, 1, 3)
+    Shape-aware layout dispatch (all three measured on-chip — PARITY.md
+    round-4 layout A/B): short KV (< ``MIN_KV_TOKENS``) takes the naive XLA
+    path; mid-size levels (256-512 tokens) take the token-layout kernel;
+    long levels (>= ``HEAD_LAYOUT_MIN_TOKENS``) pay the head transposes and
+    run the per-head kernel, whose full 1024 blocks beat the token kernel's
+    VMEM-capped 512 blocks."""
+    b, n, hd = q.shape
+    m = k.shape[1]
+    d = hd // num_heads
 
-        out = _NAIVE(split_heads(q), split_heads(k), split_heads(v), scale)
-        return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+    def split_heads(x):
+        bb, nn, _ = x.shape
+        return x.reshape(bb, nn, num_heads, d).transpose(0, 2, 1, 3)
+
+    def merge_heads(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+    if m < _MIN_KV_TOKENS:
+        return merge_heads(
+            _NAIVE(split_heads(q), split_heads(k), split_heads(v), scale))
+    if m >= _HEAD_LAYOUT_MIN:
+        return merge_heads(
+            _FA_IMPL(split_heads(q), split_heads(k), split_heads(v), scale))
     return _FAT_IMPL(q, k, v, num_heads, scale)
 
 
@@ -70,6 +81,7 @@ _FLASH_TOKENS_WRAPPER = flash_attention_tokens
 # re-claim the name here — later `import medfusion_tpu.ops.flash_attention`
 # statements hit sys.modules and do NOT re-bind the parent attribute.
 from medfusion_tpu.ops.flash_attention import (  # noqa: E402
+    HEAD_LAYOUT_MIN_TOKENS as _HEAD_LAYOUT_MIN,
     MIN_KV_TOKENS as _MIN_KV_TOKENS,
     flash_attention as _FA_IMPL,
     flash_attention_tokens as _FAT_IMPL,

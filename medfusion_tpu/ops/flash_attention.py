@@ -49,6 +49,17 @@ DEFAULT_BLOCK_Q = 1024
 # tokens/D=128 XLA 0.0076 vs flash 0.095 (block padding dominates). The
 # ops package wrapper applies this; the kernel itself does not.
 MIN_KV_TOKENS = 256
+# Layout crossover for the multi-head token-layout kernel
+# (:func:`flash_attention_tokens`). Round-4 on-chip layout x block A/B
+# (tools/mha_layout_ab.py, B=32 bf16, ms/application): at 256 tokens the
+# token-layout kernel wins (0.121 vs head-layout 0.162 vs XLA 0.252 —
+# no HBM head transposes and the whole level fits one program instance);
+# at >= 1024 tokens the per-head kernel wins despite paying the
+# b n (h d) <-> b h n d transposes (1024: 1.07 vs 1.39; 4096 colon level:
+# 17.2 vs 19.6) because the 8-way static head unroll forces 512-capped
+# blocks (scoped-VMEM budget) while the per-head kernel runs full 1024
+# blocks. The ops package wrapper applies this; the kernel itself does not.
+HEAD_LAYOUT_MIN_TOKENS = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
@@ -434,6 +445,12 @@ def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
         # 256-blocks keep the f32 training path inside the 16 MB
         # scoped-vmem budget (observed 35.5 MB at full blocks)
         block_q, block_k = min(block_q, 256), min(block_k, 256)
+    else:
+        # bf16 operands still accumulate f32 [BQ, BK] score/probability
+        # temporaries per unrolled head: full 1024x1024 blocks requested
+        # 30.5 MB of scoped VMEM at hd=256 (measured round 4) vs the 16 MB
+        # budget; 512-blocks fit with headroom
+        block_q, block_k = min(block_q, 512), min(block_k, 512)
     bq = min(block_q, n)
     bk = min(block_k, m)
     if (hd % num_heads or n % bq or m % bk or m < 8 or d % 8

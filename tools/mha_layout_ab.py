@@ -70,8 +70,11 @@ def level(n, ch):
         o = flash_attention(q, q, q, scale)
         return rearrange(o, "b hh n dd -> b n (hh dd)")
 
-    def token_layout(h):
-        return flash_attention_tokens(h, h, h, heads, scale)
+    def token_layout(h, bq=None, bk=None):
+        if bq is None:
+            return flash_attention_tokens(h, h, h, heads, scale)
+        return flash_attention_tokens(h, h, h, heads, scale,
+                                      block_q=bq, block_k=bk)
 
     def xla(h):
         q = rearrange(h, "b n (hh dd) -> b hh n dd", hh=heads)
@@ -81,7 +84,12 @@ def level(n, ch):
     rec = {"tokens": n, "ch": ch}
     rec["xla_ms"] = time_op(xla, x) * 1e3
     rec["head_kernel_ms"] = time_op(head_layout, x) * 1e3
-    rec["token_kernel_ms"] = time_op(token_layout, x) * 1e3
+    for bq, bk in ((None, None), (512, 256), (256, 512), (256, 256)):
+        key = "token_kernel_ms" if bq is None else f"token_{bq}x{bk}_ms"
+        try:
+            rec[key] = time_op(lambda h: token_layout(h, bq, bk), x) * 1e3
+        except Exception as e:  # scoped-VMEM OOM configs report, not crash
+            rec[key] = f"OOM: {str(e)[:80]}"
     return rec
 
 
