@@ -132,6 +132,34 @@ def export_images(args):
     print(f"wrote {args.out}/random_images.png")
 
 
+def _batched_slerp(zT1, zT2, lams):
+    """Spherical interpolation between two noise tensors at a column of
+    lambdas ``[n,1,1,1]`` (the standard interpolation for ~N(0,1) vectors —
+    lerp shrinks norms), with a lerp fallback when the endpoints are
+    near-parallel. One definition for both family branches of
+    :func:`interpolate`."""
+    f1, f2 = zT1.reshape(-1), zT2.reshape(-1)
+    omega = jnp.arccos(jnp.clip(
+        jnp.vdot(f1, f2) / (jnp.linalg.norm(f1) * jnp.linalg.norm(f2)),
+        -1.0, 1.0))
+    so = jnp.sin(omega)
+    w1, w2 = jnp.where(
+        so > 1e-6,
+        jnp.stack([jnp.sin((1.0 - lams) * omega) / jnp.maximum(so, 1e-6),
+                   jnp.sin(lams * omega) / jnp.maximum(so, 1e-6)]),
+        jnp.stack([1.0 - lams, lams]))
+    return w1 * zT1 + w2 * zT2
+
+
+def _save_interp_row(args, x1, out, x2, detail):
+    """Write the [img1, interpolations..., img2] grid row and log it."""
+    rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
+    out_dir = Path(args.out)
+    save_image_grid(np.stack(rows), out_dir / "interpolation.png",
+                    nrow=len(rows))
+    print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, {detail})")
+
+
 def interpolate(args):
     """Latent interpolation between two dataset images (the reference ships
     ``DiffusionPipeline.interpolate``, diffusion_pipeline.py:320-332, with no
@@ -165,17 +193,7 @@ def interpolate(args):
             # deterministic ODE inversion + slerp in noise space
             zT1 = pipe.invert(params, z1, steps=args.steps)
             zT2 = pipe.invert(params, z2, steps=args.steps)
-            f1, f2 = zT1.reshape(-1), zT2.reshape(-1)
-            omega = jnp.arccos(jnp.clip(
-                jnp.vdot(f1, f2) / (jnp.linalg.norm(f1) * jnp.linalg.norm(f2)),
-                -1.0, 1.0))
-            so = jnp.sin(omega)
-            w1, w2 = jnp.where(
-                so > 1e-6,
-                jnp.stack([jnp.sin((1.0 - lams) * omega) / jnp.maximum(so, 1e-6),
-                           jnp.sin(lams * omega) / jnp.maximum(so, 1e-6)]),
-                jnp.stack([1.0 - lams, lams]))
-            x = w1 * zT1 + w2 * zT2
+            x = _batched_slerp(zT1, zT2, lams)
             out = pipe.denoise(params, x, k_loop, steps=args.steps)
             tag = "ode-invert"
         else:
@@ -188,40 +206,19 @@ def interpolate(args):
             x = (1.0 - lams) * x1t + lams * x2t
             out = pipe.denoise(params, x, k_loop, steps=args.steps, t_start=s)
             tag = f"strength={s:g}"
-        rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
-        out_dir = Path(args.out)
-        save_image_grid(np.stack(rows), out_dir / "interpolation.png",
-                        nrow=len(rows))
-        print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, flow "
-              f"{tag}, {args.steps} steps)")
+        _save_interp_row(args, x1, out, x2, f"flow {tag}, {args.steps} steps")
         return
     if getattr(args, "ddim_invert", False):
         # Noise-space interpolation via deterministic DDIM inversion
         # (pipe.invert): endpoints reconstruct the inputs faithfully under
-        # the eta=0 denoise, and intermediate noises are slerped (the
-        # standard interpolation for ~N(0,1) vectors — lerp shrinks norms).
+        # the eta=0 denoise, and intermediate noises are slerped.
         zT1 = pipe.invert(params, z1, steps=i_step)
         zT2 = pipe.invert(params, z2, steps=i_step)
         lams = jnp.linspace(0.0, 1.0, args.n).reshape(-1, 1, 1, 1)
-        f1, f2 = zT1.reshape(-1), zT2.reshape(-1)
-        omega = jnp.arccos(jnp.clip(
-            jnp.vdot(f1, f2) / (jnp.linalg.norm(f1) * jnp.linalg.norm(f2)),
-            -1.0, 1.0))
-        so = jnp.sin(omega)
-        w1, w2 = jnp.where(  # lerp fallback when the noises are near-parallel
-            so > 1e-6,
-            jnp.stack([jnp.sin((1.0 - lams) * omega) / jnp.maximum(so, 1e-6),
-                       jnp.sin(lams * omega) / jnp.maximum(so, 1e-6)]),
-            jnp.stack([1.0 - lams, lams]))
-        x = w1 * zT1 + w2 * zT2
+        x = _batched_slerp(zT1, zT2, lams)
         out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=True,
                            eta=0.0)
-        rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
-        out_dir = Path(args.out)
-        save_image_grid(np.stack(rows), out_dir / "interpolation.png",
-                        nrow=len(rows))
-        print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, "
-              f"ddim-invert, {i_step} steps)")
+        _save_interp_row(args, x1, out, x2, f"ddim-invert, {i_step} steps")
         return
     k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 1))
     tvec = jnp.full((1,), i_step, jnp.int32)
@@ -237,11 +234,7 @@ def interpolate(args):
     # queries t~T-1 on an input noised only to t=i, diffusion_pipeline.py:
     # 320-332 + 285 — a quirk, deliberately NOT carried over.)
     out = pipe.denoise(params, x, k_loop, steps=i_step, use_ddim=False)
-    rows = [np.asarray(x1)[0], *np.asarray(out), np.asarray(x2)[0]]
-    out_dir = Path(args.out)
-    save_image_grid(np.stack(rows), out_dir / "interpolation.png",
-                    nrow=len(rows))
-    print(f"wrote {out_dir}/interpolation.png ({args.n} lambdas, i={i_step})")
+    _save_interp_row(args, x1, out, x2, f"i={i_step}")
 
 
 def inpaint(args):

@@ -49,16 +49,45 @@ def load_state_dict(src: str):
             for k, v in obj.items()}
 
 
+# pytorch-fid's InceptionV3 *wrapper* stores the torchvision modules in
+# four positional nn.Sequential blocks; a state_dict saved from that wrapper
+# has keys like 'blocks.2.4.branch1x1.conv.weight'. The (block, seq-index) ->
+# torchvision-module-name mapping is static (pools carry no params and never
+# appear). The distributed pt_inception-2015-12-05 file itself uses bare
+# module names, as does torch-fidelity's FeatureExtractorInceptionV3.
+_PYTORCH_FID_BLOCKS = {
+    (0, 0): "Conv2d_1a_3x3", (0, 1): "Conv2d_2a_3x3", (0, 2): "Conv2d_2b_3x3",
+    (1, 0): "Conv2d_3b_1x1", (1, 1): "Conv2d_4a_3x3",
+    (2, 0): "Mixed_5b", (2, 1): "Mixed_5c", (2, 2): "Mixed_5d",
+    (2, 3): "Mixed_6a", (2, 4): "Mixed_6b", (2, 5): "Mixed_6c",
+    (2, 6): "Mixed_6d", (2, 7): "Mixed_6e",
+    (3, 0): "Mixed_7a", (3, 1): "Mixed_7b", (3, 2): "Mixed_7c",
+}
+
+
+def strip_fid_blocks(sd):
+    """Remap pytorch-fid-wrapper 'blocks.N.M.<module path>' keys to bare
+    torchvision module names; bare-name state dicts pass through unchanged."""
+    if not any(k.startswith("blocks.") for k in sd):
+        return sd
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith("blocks."):
+            out[k] = v
+            continue
+        _, b, m, rest = k.split(".", 3)
+        name = _PYTORCH_FID_BLOCKS.get((int(b), int(m)))
+        if name is None:
+            raise ValueError(f"unrecognized pytorch-fid wrapper key: {k!r}")
+        out[f"{name}.{rest}"] = v
+    return out
+
+
 def ingest_inception(src: str):
     from medfusion_tpu.metrics import InceptionV3
     from medfusion_tpu.metrics.inception import convert_torch_inception
 
-    sd = load_state_dict(src)
-    # torch-fidelity prefixes the fid featurizer's layers under the bare
-    # module names already; pytorch-fid's wrapper nests them under blocks —
-    # strip a leading 'blocks.N.' if present so both files ingest
-    sd = {k.split("blocks.", 1)[-1].split(".", 1)[-1] if k.startswith("blocks.")
-          else k: v for k, v in sd.items()}
+    sd = strip_fid_blocks(load_state_dict(src))
     converted = convert_torch_inception(sd)
     net = InceptionV3()
     template = net.init(jax.random.PRNGKey(0),

@@ -123,6 +123,37 @@ def test_inception_converter_full_tree_roundtrip(inception_template):
     assert n_checked > 90  # all 94 convs of the fid InceptionV3
 
 
+def test_inception_pytorch_fid_blocks_layout(inception_template):
+    """A state_dict saved from pytorch-fid's InceptionV3 *wrapper* nests the
+    torchvision modules under positional 'blocks.N.M.' prefixes; ingestion
+    must remap those back to module names and land on identical params."""
+    from medfusion_tpu.cli.ingest_weights import (_PYTORCH_FID_BLOCKS,
+                                                  strip_fid_blocks)
+
+    rng = np.random.default_rng(4)
+    sd = _synthetic_inception_state_dict(inception_template, rng)
+    name_to_pos = {v: k for k, v in _PYTORCH_FID_BLOCKS.items()}
+    wrapped = {}
+    for k, v in sd.items():
+        mod, rest = k.split(".", 1)
+        b, m = name_to_pos[mod]
+        wrapped[f"blocks.{b}.{m}.{rest}"] = v
+    assert len(wrapped) == len(sd)  # no key collisions in the wrap
+
+    stripped = strip_fid_blocks(wrapped)
+    assert stripped.keys() == sd.keys()
+    converted = convert_torch_inception(stripped)
+    P.validate_against_template(converted, inception_template, "inception")
+    ref = convert_torch_inception(sd)
+    for (ka, va), (kb, vb) in zip(sorted(P._flat_items(converted)),
+                                  sorted(P._flat_items(ref))):
+        assert ka == kb
+        np.testing.assert_array_equal(va, vb)
+
+    with pytest.raises(ValueError, match="unrecognized pytorch-fid"):
+        strip_fid_blocks({"blocks.3.9.conv.weight": np.zeros((1, 1, 1, 1))})
+
+
 def test_validate_against_template_is_loud(inception_template):
     rng = np.random.default_rng(3)
     sd = _synthetic_inception_state_dict(inception_template, rng)
