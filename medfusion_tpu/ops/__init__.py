@@ -54,6 +54,9 @@ def flash_attention_tokens(q, k, v, num_heads, scale):
     VMEM-capped 512 blocks."""
     b, n, hd = q.shape
     m = k.shape[1]
+    if hd % num_heads:
+        raise ValueError(
+            f"feature dim {hd} is not divisible by num_heads={num_heads}")
     d = hd // num_heads
 
     def split_heads(x):

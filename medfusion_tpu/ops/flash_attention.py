@@ -434,11 +434,17 @@ def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
                            interpret: bool = False):
     """Token-layout flash attention: q [B, N, H*D], k/v [B, M, H*D] ->
     [B, N, H*D] — no head transposes on the forward path. Differentiable
-    (backward routes through the per-head kernels). Falls back to
-    rearrange + :func:`flash_attention` (which itself falls back to naive
-    XLA for non-dividing shapes) whenever the blocking does not divide."""
+    (backward routes through the per-head kernels). ``num_heads`` must
+    divide the feature dim (ValueError otherwise); for any other
+    non-dividing blocking it falls back to rearrange +
+    :func:`flash_attention` (which itself falls back to naive XLA)."""
     b, n, hd = q.shape
     m = k.shape[1]
+    if hd % num_heads:
+        # no layout can split this — fail loudly instead of letting the
+        # fallback's reshape raise an opaque TypeError
+        raise ValueError(
+            f"feature dim {hd} is not divisible by num_heads={num_heads}")
     d = hd // num_heads
     if jnp.dtype(q.dtype).itemsize >= 4:
         # the static head unroll multiplies live [BQ, BK] f32 buffers;
@@ -453,8 +459,7 @@ def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
         block_q, block_k = min(block_q, 512), min(block_k, 512)
     bq = min(block_q, n)
     bk = min(block_k, m)
-    if (hd % num_heads or n % bq or m % bk or m < 8 or d % 8
-            or hd % 128):
+    if n % bq or m % bk or m < 8 or d % 8 or hd % 128:
         qh = _to_bhnd(q, num_heads).reshape(b, num_heads, n, d)
         kh = _to_bhnd(k, num_heads).reshape(b, num_heads, m, d)
         vh = _to_bhnd(v, num_heads).reshape(b, num_heads, m, d)

@@ -76,12 +76,22 @@ def shard_stage_params(stacked_params, mesh: Mesh, axis: str = "model",
     mesh axis (pp x fsdp composition): the first post-stage dim of every leaf
     is sharded over ``zero_axis`` at rest and all-gathered just-in-time
     inside :func:`pipeline_apply` (pass the same ``zero_axis`` there).
-    Requires that dim to divide by ``mesh.shape[zero_axis]`` for every leaf.
+    Requires that dim to divide by ``mesh.shape[zero_axis]`` for every leaf
+    of rank >= 2; rank-1 stacked leaves (a per-stage scalar parameter) have
+    no post-stage dim to shard and stay replicated over ``zero_axis``.
     """
-    spec = P(axis, zero_axis) if zero_axis else P(axis)
     return jax.tree_util.tree_map(
-        lambda v: jax.device_put(v, NamedSharding(mesh, spec)),
+        lambda v: jax.device_put(
+            v, NamedSharding(mesh, _stage_leaf_spec(v, axis, zero_axis))),
         stacked_params)
+
+
+def _stage_leaf_spec(v, axis: str, zero_axis: str):
+    """Per-leaf spec for stacked stage params: ZeRO-shard the first
+    post-stage dim when there is one; scalars-per-stage stay replicated."""
+    if zero_axis and v.ndim >= 2:
+        return P(axis, zero_axis)
+    return P(axis)
 
 
 def _mark_varying(x, axis_name: str, anchor):
@@ -126,7 +136,8 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         raise ValueError(f"batch {b} not divisible by {n_micro} microbatches")
     x_mb = x.reshape((n_micro, b // n_micro) + x.shape[1:])
     x_spec = P(None, data_axis) if data_axis else P()
-    p_spec = P(axis, zero_axis) if zero_axis else P(axis)
+    p_spec = jax.tree_util.tree_map(
+        lambda v: _stage_leaf_spec(v, axis, zero_axis), stacked_params)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(p_spec, x_spec), out_specs=x_spec,
@@ -135,8 +146,11 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         p_local = jax.tree_util.tree_map(lambda v: v[0], p_stacked)
         if zero_axis is not None:
             # ZeRO-3 just-in-time gather of this stage's full params
+            # (per-stage scalars were never sharded — no dim to gather)
             p_local = jax.tree_util.tree_map(
-                lambda v: jax.lax.all_gather(v, zero_axis, axis=0, tiled=True),
+                lambda v: (jax.lax.all_gather(v, zero_axis, axis=0,
+                                              tiled=True)
+                           if v.ndim >= 1 else v),
                 p_local)
         stage_id = jax.lax.axis_index(axis)
         is_first = (stage_id == 0)

@@ -395,3 +395,17 @@ def test_ops_tokens_wrapper_dispatches_by_kv_length(monkeypatch):
     assert calls == []
     ops.flash_attention_tokens(big, big, big, 4, 0.3)
     assert calls == [256]
+
+
+def test_flash_tokens_rejects_non_dividing_heads():
+    """A feature dim no head count can split must fail loudly at the API
+    boundary (both the kernel module and the ops wrapper), not as an opaque
+    reshape TypeError inside the fallback (review fix, round 4)."""
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.ops.flash_attention import flash_attention_tokens
+
+    x = jnp.ones((2, 64, 100))
+    with pytest.raises(ValueError, match="not divisible by num_heads"):
+        flash_attention_tokens(x, x, x, 3, 0.3)
+    with pytest.raises(ValueError, match="not divisible by num_heads"):
+        ops.flash_attention_tokens(x, x, x, 3, 0.3)

@@ -197,3 +197,45 @@ def test_pipeline_zero_sharded_stages_match_sequential():
         np.testing.assert_allclose(np.asarray(g_pp["b"][i]),
                                    np.asarray(g_seq[i]["b"]),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_zero_sharding_handles_scalar_stage_params():
+    """A per-stage SCALAR leaf stacks to rank 1 — it has no post-stage dim
+    to ZeRO-shard, so pp x fsdp must replicate it over the zero axis instead
+    of failing to apply a 2-D PartitionSpec (review fix, round 4)."""
+    from jax.sharding import PartitionSpec as P
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"]) * p["gain"]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(11)
+    stages = [
+        {"w": jnp.asarray(rng.standard_normal((16, 16)) / 4.0, jnp.float32),
+         "gain": jnp.float32(0.5 + i)}
+        for i in range(2)
+    ]
+    stacked = shard_stage_params(stack_stage_params(stages), mesh,
+                                 zero_axis="data")
+    assert stacked["w"].sharding.spec == P("model", "data")
+    assert stacked["gain"].sharding.spec == P("model")
+    x = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    want = x
+    for p in stages:
+        want = stage_fn(p, want)
+
+    def loss_pp(p_stacked):
+        y = pipeline_apply(stage_fn, p_stacked, x, mesh=mesh, axis="model",
+                           data_axis="data", zero_axis="data")
+        return y
+
+    got = loss_pp(stacked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    g = jax.grad(lambda p: jnp.sum(loss_pp(p) ** 2))(stacked)
+    g_seq = jax.grad(lambda ss: jnp.sum(
+        stage_fn(ss[1], stage_fn(ss[0], x)) ** 2))(stages)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(g["gain"][i]),
+                                   np.asarray(g_seq[i]["gain"]),
+                                   atol=1e-4, rtol=1e-4)

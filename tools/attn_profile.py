@@ -18,7 +18,6 @@ Run ALONE on the chip:  python tools/attn_profile.py
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -41,34 +40,11 @@ from medfusion_tpu.nn.attention import (  # noqa: E402
 from medfusion_tpu.nn.blocks import Dense, Norm  # noqa: E402
 import medfusion_tpu.ops as ops  # noqa: E402
 
+from _timing import time_op  # noqa: E402
+
 B = 32
 EMB = 1024
 NORM = ("GROUP", {"num_groups": 32, "affine": True})
-N_LO, N_HI = 100, 900
-
-
-def _loop_total(fn, x, iters, runs=5):
-    @jax.jit
-    def loop(x0):
-        def body(_, h):
-            return (h + fn(h)).astype(h.dtype) * jnp.bfloat16(0.5)
-
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0)
-                       .astype(jnp.float32))
-
-    float(loop(x))  # compile + settle
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(loop(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def time_op(fn, x):
-    """Marginal per-application seconds: (T(N_HI) - T(N_LO)) / (N_HI - N_LO)
-    cancels the fixed dispatch+fetch overhead."""
-    return (_loop_total(fn, x, N_HI) - _loop_total(fn, x, N_LO)) / (N_HI - N_LO)
 
 
 def bf16_params(module, *args, rngs=None):

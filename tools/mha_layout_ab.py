@@ -14,7 +14,6 @@ Run ALONE on the chip:  python tools/mha_layout_ab.py
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -34,30 +33,9 @@ from medfusion_tpu.ops.flash_attention import (  # noqa: E402
     naive_attention,
 )
 
+from _timing import time_op  # noqa: E402
+
 B = 32
-N_LO, N_HI = 100, 900
-
-
-def _loop_total(fn, x, iters, runs=5):
-    @jax.jit
-    def loop(x0):
-        def body(_, h):
-            return (h + fn(h)).astype(h.dtype) * jnp.bfloat16(0.5)
-
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x0)
-                       .astype(jnp.float32))
-
-    float(loop(x))
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(loop(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def time_op(fn, x):
-    return (_loop_total(fn, x, N_HI) - _loop_total(fn, x, N_LO)) / (N_HI - N_LO)
 
 
 def level(n, ch):
