@@ -75,7 +75,10 @@ def strip_fid_blocks(sd):
         if not k.startswith("blocks."):
             out[k] = v
             continue
-        _, b, m, rest = k.split(".", 3)
+        parts = k.split(".", 3)
+        if len(parts) != 4 or not (parts[1].isdigit() and parts[2].isdigit()):
+            raise ValueError(f"unrecognized pytorch-fid wrapper key: {k!r}")
+        _, b, m, rest = parts
         name = _PYTORCH_FID_BLOCKS.get((int(b), int(m)))
         if name is None:
             raise ValueError(f"unrecognized pytorch-fid wrapper key: {k!r}")

@@ -48,10 +48,12 @@ def flash_attention_tokens(q, k, v, num_heads, scale):
 
     Shape-aware layout dispatch (all three measured on-chip — PARITY.md
     round-4 layout A/B): short KV (< ``MIN_KV_TOKENS``) takes the naive XLA
-    path; mid-size levels (256-512 tokens) take the token-layout kernel;
+    path; mid-size levels (256-1023 tokens) take the token-layout kernel;
     long levels (>= ``HEAD_LAYOUT_MIN_TOKENS``) pay the head transposes and
     run the per-head kernel, whose full 1024 blocks beat the token kernel's
-    VMEM-capped 512 blocks."""
+    VMEM-capped 512 blocks. Thresholds were measured in bf16 (the production
+    dtype); f32 inputs use 256-capped blocks, so the crossovers may differ —
+    the dispatch still applies them unconditionally."""
     b, n, hd = q.shape
     m = k.shape[1]
     if hd % num_heads:

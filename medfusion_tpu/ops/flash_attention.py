@@ -29,6 +29,7 @@ K/V ([N, D] <= 2 MB fp32) always fits VMEM alongside the block operands.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -446,17 +447,18 @@ def flash_attention_tokens(q, k, v, num_heads: int, scale: float,
         raise ValueError(
             f"feature dim {hd} is not divisible by num_heads={num_heads}")
     d = hd // num_heads
-    if jnp.dtype(q.dtype).itemsize >= 4:
-        # the static head unroll multiplies live [BQ, BK] f32 buffers;
-        # 256-blocks keep the f32 training path inside the 16 MB
-        # scoped-vmem budget (observed 35.5 MB at full blocks)
-        block_q, block_k = min(block_q, 256), min(block_k, 256)
-    else:
-        # bf16 operands still accumulate f32 [BQ, BK] score/probability
-        # temporaries per unrolled head: full 1024x1024 blocks requested
-        # 30.5 MB of scoped VMEM at hd=256 (measured round 4) vs the 16 MB
-        # budget; 512-blocks fit with headroom
-        block_q, block_k = min(block_q, 512), min(block_k, 512)
+    cap = 256 if jnp.dtype(q.dtype).itemsize >= 4 else 512
+    # the static head unroll keeps live [BQ, BK] f32 score/probability
+    # temporaries per head: full 1024x1024 blocks requested 30.5 MB (bf16,
+    # hd=256) / 35.5 MB (f32) of scoped VMEM vs the 16 MB budget — 512-
+    # (bf16) / 256- (f32) blocks fit with headroom (measured round 4)
+    if (block_q, block_k) != (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K) and (
+            block_q > cap or block_k > cap):
+        warnings.warn(
+            f"flash_attention_tokens: clamping explicit block sizes "
+            f"({block_q}, {block_k}) to the {cap}-block scoped-VMEM cap "
+            f"for dtype {q.dtype}", stacklevel=2)
+    block_q, block_k = min(block_q, cap), min(block_k, cap)
     bq = min(block_q, n)
     bk = min(block_k, m)
     if n % bq or m % bk or m < 8 or d % 8 or hd % 128:

@@ -239,3 +239,8 @@ def test_pipeline_zero_sharding_handles_scalar_stage_params():
         np.testing.assert_allclose(np.asarray(g["gain"][i]),
                                    np.asarray(g_seq[i]["gain"]),
                                    atol=1e-4, rtol=1e-4)
+        # the ZeRO-sharded matrix leaf in the SAME mixed tree pins the
+        # gather/reduce-scatter vjp when scalar and matrix leaves coexist
+        np.testing.assert_allclose(np.asarray(g["w"][i]),
+                                   np.asarray(g_seq[i]["w"]),
+                                   atol=1e-4, rtol=1e-4)
