@@ -339,6 +339,16 @@ def main(argv=None):
         s.add_argument("--n", type=int, default=8)
         s.add_argument("--steps", type=int, default=25)
         s.add_argument("--seed", type=int, default=0)
+        if name in ("export-gif", "export-images", "interpolate", "inpaint",
+                    "img2img"):
+            from medfusion_tpu.cli.kernels import add_kernel_args
+
+            s.add_argument("--estimator", default="unet",
+                           choices=("unet", "unet_legacy", "openai",
+                                    "lucidrains", "dit"),
+                           help="noise-estimator family the checkpoint was "
+                                "trained with")
+            add_kernel_args(s)
         if name == "extract-vae":
             s.add_argument("--disc", choices=["conv", "patch"], default="conv",
                            help="discriminator flavor the GAN checkpoint was "
@@ -383,6 +393,10 @@ def main(argv=None):
                            help="RePaint jump length in grid steps "
                                 "(paper uses 10)")
     args = ap.parse_args(argv)
+    if hasattr(args, "flash"):
+        from medfusion_tpu.cli.kernels import resolve_kernel_flags
+
+        resolve_kernel_flags(args, ap)
     if args.cmd == "export-gif" and args.out == "results/helpers":
         args.out = "results/helpers/trajectory.gif"
     {"latent-stats": latent_stats, "extract-vae": extract_vae,

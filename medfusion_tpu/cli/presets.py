@@ -100,15 +100,23 @@ def build_vae(p: Preset, kind: str = "vae"):
     return VAE(**common)
 
 
-def build_unet(p: Preset, estimator: str = "unet"):
+def build_unet(p: Preset, estimator: str = "unet", attention: str = "none"):
     """Noise estimator by family: 'unet' (reference unet2), 'unet_legacy'
     (reference estimators/unet.py), 'openai' (the SD/ADM UNet, reference
     external/stable_diffusion/unet_openai.py), 'lucidrains' (the compact
     DDPM UNet, reference external/unet_lucidrains.py — no label cond), or
     'dit' (Diffusion Transformer, arXiv:2212.09748 — beyond the
     reference; pure-matmul/MXU architecture, flash-attention-accelerated
-    in training AND sampling)."""
+    in training AND sampling).
+
+    ``attention`` is the reference's per-level ``use_attention`` config
+    ('none'|'linear'|'spatial', attention_blocks.py:291-335), honored by
+    the unet/unet_legacy families (CLI: ``--attention``)."""
     n = len(p.unet_hid_chs)
+    if attention != "none" and estimator not in ("unet", "unet_legacy"):
+        raise ValueError(
+            f"attention={attention!r} only configures the unet/unet_legacy "
+            f"families; estimator {estimator!r} fixes its own attention")
     if estimator == "dit":
         from medfusion_tpu.models.dit import DiT
 
@@ -158,7 +166,7 @@ def build_unet(p: Preset, estimator: str = "unet"):
         strides=(1,) + (2,) * (n - 1),
         time_emb_dim=p.unet_hid_chs[-1],
         cond_emb_num_classes=p.num_classes,
-        deep_supervision=0, use_attention="none",
+        deep_supervision=0, use_attention=attention,
         norm_name=("GROUP", {"num_groups": n_groups, "affine": True}),
     )
     if estimator == "unet_legacy":

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from medfusion_tpu.cli.kernels import add_kernel_args, resolve_kernel_flags
 from medfusion_tpu.cli.presets import PRESETS, build_scheduler, build_unet, build_vae
 from medfusion_tpu.cli.train_diffusion import load_vae_params
 from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
@@ -30,7 +31,8 @@ from medfusion_tpu.utils.logging import save_image_grid
 def load_pipeline(args, p):
     key = jax.random.PRNGKey(args.seed)
     vae = build_vae(p)
-    unet = build_unet(p, getattr(args, "estimator", "unet"))
+    unet = build_unet(p, getattr(args, "estimator", "unet"),
+                      attention=getattr(args, "attention", "none"))
     if getattr(args, "family", "diffusion") == "flow":
         from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
 
@@ -133,7 +135,9 @@ def main(argv=None):
                     help="must match the value used at training time")
     ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    add_kernel_args(ap)
     args = ap.parse_args(argv)
+    resolve_kernel_flags(args, ap)
     if args.family == "flow":
         # mirror sample_dataset: reject diffusion-schedule flags instead of
         # silently ignoring them

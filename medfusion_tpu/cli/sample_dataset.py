@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from medfusion_tpu.cli.kernels import add_kernel_args, resolve_kernel_flags
 from medfusion_tpu.cli.presets import PRESETS
 from medfusion_tpu.cli.sample import load_pipeline
 from medfusion_tpu.parallel import make_mesh, make_sharded_sampler
@@ -79,7 +80,9 @@ def main(argv=None):
                     help="must match the value used at training time")
     ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    add_kernel_args(ap)
     args = ap.parse_args(argv)
+    resolve_kernel_flags(args, ap)
     if args.timestep_spacing is None:
         args.timestep_spacing = "trailing" if args.zero_terminal_snr else "linspace"
     if args.classifier_ckpt and args.encoder_key_every > 1:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from medfusion_tpu.cli.kernels import add_kernel_args, resolve_kernel_flags
 from medfusion_tpu.cli.presets import (
     PRESETS,
     build_dataset,
@@ -107,6 +108,7 @@ def main(argv=None):
                     choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"),
                     help="noise-estimator family (openai = SD/ADM UNet; "
                          "lucidrains = compact DDPM UNet, unconditional)")
+    add_kernel_args(ap)
     ap.add_argument("--grain", action="store_true",
                     help="use the grain production loader instead of SimpleDataModule")
     ap.add_argument("--no-donate", action="store_true",
@@ -124,6 +126,8 @@ def main(argv=None):
                     help="supervise training: on a crash, restart up to N "
                          "times, restoring from the latest checkpoint")
     args = ap.parse_args(argv)
+    # global switches, read at trace time — set once before any jit
+    resolve_kernel_flags(args, ap)
 
     if args.auto_restart:
         from medfusion_tpu.utils.resilience import run_with_auto_restore
@@ -142,7 +146,7 @@ def _train(args, resume: bool):
     key = jax.random.PRNGKey(args.seed)
 
     vae = build_vae(p)
-    unet = build_unet(p, args.estimator)
+    unet = build_unet(p, args.estimator, attention=args.attention)
     if args.remat and hasattr(unet, "remat"):
         unet = unet.replace(remat=True)
     if args.family == "flow":
@@ -220,7 +224,9 @@ def _train(args, resume: bool):
             saved = _json.loads(cfg_file.read_text())
             for k, now in (("use_ema", args.use_ema),
                            ("family", args.family),
-                           ("objective", args.objective)):
+                           ("objective", args.objective),
+                           ("estimator", args.estimator),
+                           ("attention", args.attention)):
                 if k in saved and saved[k] != now:
                     # a silent mismatch either DROPS the trained EMA or
                     # seeds it with this process's random init
@@ -253,7 +259,9 @@ def _train(args, resume: bool):
                                   config={**dataclasses.asdict(p),
                                           "use_ema": args.use_ema,
                                           "family": args.family,
-                                          "objective": args.objective},
+                                          "objective": args.objective,
+                                          "estimator": args.estimator,
+                                          "attention": args.attention},
                                   keep_top_k=2)
                 C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]),
                                        state=state)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from medfusion_tpu.cli.kernels import add_kernel_args, resolve_kernel_flags
 from medfusion_tpu.cli.presets import PRESETS
 from medfusion_tpu.cli.sample import load_pipeline
 
@@ -251,7 +252,14 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--serve-batch", type=int, default=4,
                     help="micro-batch size for the /one serving endpoint")
+    ap.add_argument("--estimator", default="unet",
+                    choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"),
+                    help="noise-estimator family the checkpoint was trained with")
+    add_kernel_args(ap)
     args = ap.parse_args(argv)
+    # global trace-time switches: cover every page sampler AND the /one
+    # MicroBatcher program (both trace after this point)
+    resolve_kernel_flags(args, ap)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(DemoState(args)))
     print(f"demo listening on http://127.0.0.1:{args.port}")
     server.serve_forever()

@@ -28,6 +28,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Quick tier (`pytest -m quick`): the core-parity subset — scheduler math,
+# sampler loops, model-forward parity, latent embedders, datasets, conv/attn
+# blocks, the Pallas kernels, and the flow family. Measured ~7 min on the
+# single CPU core (full suite ~47 min). slow-marked tests and the named
+# end-to-end exclusions stay out of the tier.
+_QUICK_MODULES = {
+    "test_schedules", "test_pipeline", "test_full_model_parity",
+    "test_latent_embedders", "test_data", "test_nn_blocks",
+    "test_ops", "test_flow",
+}
+_QUICK_EXCLUDE = {"test_flow_cli_train_and_sample"}  # 54s CLI end-to-end
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES
+                and "slow" not in item.keywords
+                and item.originalname not in _QUICK_EXCLUDE):
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

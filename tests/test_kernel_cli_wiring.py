@@ -1,0 +1,198 @@
+"""Attention + Pallas kernel switches on the product surface (VERDICT r4 #1).
+
+The reference exposes attention as a first-class model config
+(``/root/reference/scripts/train_diffusion.py:97`` sets ``use_attention``;
+``attention_blocks.py:291-335`` dispatches none/linear/spatial). These tests
+pin that the rebuild's CLIs can express the same configs AND that the
+measured kernel stack (shape-aware flash attention, fused GEGLU) is enabled
+on them by default: resolve semantics, build_unet wiring, an end-to-end
+train->checkpoint->sample round trip with ``--attention spatial``, resume
+config validation, and the serving MicroBatcher on an attention model.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import medfusion_tpu.ops as ops
+from medfusion_tpu.cli.kernels import resolve_kernel_flags
+from medfusion_tpu.cli.presets import PRESETS, build_unet
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_switches():
+    yield
+    ops.enable_flash_attention(False)
+    ops.enable_fused_geglu(False)
+    ops.enable_fused_group_norm(False)
+
+
+def _args(**kw):
+    import argparse
+
+    ns = argparse.Namespace(attention="none", estimator="unet", flash=None,
+                            fused_geglu=None)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+# ---------------------------------------------------------------- resolve
+
+
+def test_auto_defaults_spatial_enables_measured_stack():
+    flash, fused = resolve_kernel_flags(_args(attention="spatial"))
+    assert (flash, fused) == (True, True)
+    assert ops.flash_attention_enabled() and ops.fused_geglu_enabled()
+
+
+def test_auto_defaults_dit_enables_flash_not_geglu():
+    flash, fused = resolve_kernel_flags(_args(estimator="dit"))
+    assert (flash, fused) == (True, False)
+    assert ops.flash_attention_enabled() and not ops.fused_geglu_enabled()
+
+
+def test_auto_defaults_plain_unet_stays_off():
+    assert resolve_kernel_flags(_args()) == (False, False)
+    assert not ops.flash_attention_enabled()
+
+
+def test_explicit_no_flash_overrides_auto():
+    flash, fused = resolve_kernel_flags(_args(attention="spatial", flash=False))
+    assert (flash, fused) == (False, True)
+    assert not ops.flash_attention_enabled() and ops.fused_geglu_enabled()
+
+
+@pytest.mark.parametrize("bad", [
+    dict(flash=True),                                # no attention anywhere
+    dict(attention="linear", fused_geglu=True),      # GEGLU is spatial-only
+    dict(attention="spatial", estimator="openai"),   # family fixes its own
+    dict(attention="linear", estimator="dit"),
+])
+def test_invalid_combinations_raise(bad):
+    with pytest.raises(ValueError):
+        resolve_kernel_flags(_args(**bad))
+
+
+# ------------------------------------------------------------- build_unet
+
+
+def test_build_unet_attention_changes_param_tree():
+    p = PRESETS["smoke"]
+    z = np.zeros((1, *p.latent_shape), np.float32)
+    t = np.zeros((1,), np.int32)
+    key = jax.random.PRNGKey(0)
+
+    def leaves(attention):
+        unet = build_unet(p, "unet", attention=attention)
+        params = unet.init(key, z, t, t)["params"]
+        return {"/".join(map(str, kp)) for kp, _ in
+                jax.tree_util.tree_flatten_with_path(params)[0]}
+
+    plain, spatial = leaves("none"), leaves("spatial")
+    extra = {k for k in spatial - plain if "attention" in k}
+    assert extra, "spatial attention added no attention params"
+    assert not any("attention" in k for k in plain)
+
+
+def test_build_unet_rejects_attention_on_fixed_families():
+    with pytest.raises(ValueError, match="fixes its own attention"):
+        build_unet(PRESETS["smoke"], "openai", attention="spatial")
+
+
+# ------------------------------------------------- end-to-end CLI round trip
+
+
+@pytest.mark.slow
+def test_train_sample_resume_round_trip_with_spatial_attention(tmp_path):
+    from medfusion_tpu.cli import sample, train_diffusion
+
+    out = tmp_path / "run"
+    train_diffusion.main([
+        "--preset", "smoke", "--attention", "spatial", "--out", str(out),
+        "--max-steps", "2", "--ckpt-every", "2",
+    ])
+    # the measured dispatch was auto-enabled by the CLI
+    assert ops.flash_attention_enabled() and ops.fused_geglu_enabled()
+    cfg = json.loads((out / "checkpoints" / "config.json").read_text())
+    assert cfg["attention"] == "spatial" and cfg["estimator"] == "unet"
+
+    sample.main([
+        "--preset", "smoke", "--attention", "spatial",
+        "--ckpt", str(out / "checkpoints"),
+        "--out", str(tmp_path / "samples"), "--n", "2", "--steps", "2",
+    ])
+    assert (tmp_path / "samples" / "sample_cond_0.png").exists()
+
+    # resume with a mismatched attention config fails LOUDLY (a silent
+    # mismatch would restore into a different param tree)
+    with pytest.raises(SystemExit, match="attention"):
+        train_diffusion.main([
+            "--preset", "smoke", "--out", str(out),
+            "--max-steps", "4", "--resume",
+        ])
+
+
+def test_all_sampling_clis_expose_kernel_flags():
+    """Parser-level: every product CLI rejects a bogus --attention choice
+    (=> the flag is registered; pattern from test_lr_cli_wiring)."""
+    from medfusion_tpu.cli import helpers, sample, sample_dataset
+    from medfusion_tpu.demo import server
+
+    for mod, argv in (
+        (sample, ["--attention", "bogus"]),
+        (sample_dataset, ["--attention", "bogus"]),
+        (server, ["--attention", "bogus"]),
+        (helpers, ["img2img", "--attention", "bogus"]),
+    ):
+        with pytest.raises(SystemExit) as e:
+            mod.main(argv)
+        assert e.value.code == 2
+
+
+# ----------------------------------------------------------- MicroBatcher
+
+
+@pytest.mark.slow
+def test_microbatcher_serves_attention_model():
+    """The /one serving path on a spatial-attention model with the kernel
+    stack enabled: fixed-shape batched program, per-slot determinism."""
+    from medfusion_tpu.demo.serving import MicroBatcher, make_sample_batch_fn
+    from medfusion_tpu.cli.presets import build_scheduler, build_vae
+    from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+    resolve_kernel_flags(_args(attention="spatial"))
+    p = PRESETS["smoke"]
+    unet = build_unet(p, "unet", attention="spatial")
+    vae = build_vae(p)
+    key = jax.random.PRNGKey(0)
+    z = np.zeros((1, *p.latent_shape), np.float32)
+    x = np.zeros((1, p.image_size, p.image_size, p.in_channels), np.float32)
+    t = np.zeros((1,), np.int32)
+    params = {
+        "noise_estimator": unet.init(key, z, t, t)["params"],
+        "latent_embedder": vae.init({"params": key, "sample": key}, x)["params"],
+    }
+    pipe = DiffusionPipeline(scheduler=build_scheduler(p), noise_estimator=unet,
+                             latent_embedder=vae, do_input_centering=False,
+                             clip_x0=False)
+    fn = make_sample_batch_fn(pipe, params, p.latent_shape, steps=2,
+                              conditional=True)
+    mb = MicroBatcher(fn, batch_size=2, max_wait_s=0.2)
+    try:
+        f1 = mb.submit(seed=7, cond=0)
+        f2 = mb.submit(seed=9, cond=1)
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert r1.shape == (p.image_size, p.image_size, p.in_channels)
+        # slot determinism: the same (seed, cond) in a different batch
+        # composition returns the same image
+        f3 = mb.submit(seed=7, cond=0)
+        f4 = mb.submit(seed=3, cond=1)
+        r3 = f3.result(timeout=300)
+        f4.result(timeout=300)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r3), atol=1e-5)
+    finally:
+        mb.close()
