@@ -189,6 +189,80 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
     }
 
 
+def run_train_bench(batch=DEFAULT_BATCH, n_steps=20):
+    """Flagship TRAIN-throughput measurement (round-4 verdict ask #5: make
+    the train numbers driver-capturable, not builder-session-reported).
+
+    Protocol = tools/train_bf16_ab.py (chest config, B=32, incl the frozen
+    VAE encode of 256^2 inputs; reference train protocol
+    ``/root/reference/scripts/train_diffusion.py:55,156-175``): f32 and bf16
+    (--bf16 mixed-precision) arms, AMORTIZED-SYNC timing — dispatch n_steps
+    async, ONE loss fetch at the end (a per-step float() pays ~20 ms tunnel
+    latency). Train MFU only for the bf16 arm (f32 matmuls don't run at the
+    bf16 peak, the ratio would be apples-to-oranges). Refreshes
+    TRAIN_BENCH.json. Two remote compiles."""
+    import numpy as np
+    import optax
+
+    from medfusion_tpu.train import TrainState, make_diffusion_train_step
+
+    pipe, _ = build("chest")
+    unet, vae = pipe.noise_estimator, pipe.latent_embedder
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 32, 32, 8), jnp.float32)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    t0 = jnp.zeros((1,), jnp.int32)
+    state = TrainState.create(unet.init(key, z, t0, t0)["params"],
+                              optax.adamw(1e-4))
+    vae_params = vae.init({"params": key, "sample": key}, x)["params"]
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "source": jnp.asarray(
+            rng.uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32)),
+        "target": jnp.zeros((batch,), jnp.int32),
+    }
+
+    def time_arm(compute_dtype):
+        jstep = make_diffusion_train_step(pipe, donate=False,
+                                          compute_dtype=compute_dtype)
+        s, m = jstep(state, vae_params, batch_data, jax.random.PRNGKey(0))
+        float(m["loss"])  # compile + settle
+        t_start = time.perf_counter()
+        for i in range(n_steps):
+            s, m = jstep(s, vae_params, batch_data, jax.random.PRNGKey(i + 1))
+        float(m["loss"])  # single sync
+        return (time.perf_counter() - t_start) / n_steps, jstep
+
+    dt_f32, _ = time_arm(None)
+    dt_bf16, jstep = time_arm(jnp.bfloat16)
+    try:
+        cost = jstep.lower(state, vae_params, batch_data,
+                           jax.random.PRNGKey(0)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+    except Exception:  # noqa: BLE001 — MFU is diagnostics, timing stands
+        flops = 0.0
+    rec = {
+        "metric": f"chest train step, f32 + bf16 arms (B={batch}, incl "
+                  "frozen VAE encode)",
+        "value": round(batch / dt_bf16, 2),
+        "unit": "samples/s (bf16 arm)",
+        "f32_ms": round(dt_f32 * 1e3, 2),
+        "bf16_ms": round(dt_bf16 * 1e3, 2),
+        "bf16_speedup": round(dt_f32 / dt_bf16, 4),
+        "batch": batch,
+        "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+        "train_mfu_bf16": (round(flops / dt_bf16 / V5E_PEAK_FLOPS, 4)
+                           if flops else None),
+    }
+    try:
+        with open("TRAIN_BENCH.json", "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+    return rec
+
+
 def _attn_label(args):
     return (args.attention + ("+flash" if args.flash else "")
             + ("+fgeglu" if args.fused_geglu else ""))
@@ -207,7 +281,8 @@ def run_suite_extras(batch):
         try:
             r = fn()
             records.append(r)
-            compact[key] = {"value": r["value"], "mfu": r["mfu"],
+            compact[key] = {"value": r["value"],
+                            "mfu": r.get("mfu", r.get("train_mfu_bf16")),
                             "batch": r["batch"]}
             print(json.dumps(r), flush=True)
         except Exception as e:  # noqa: BLE001 — headline must still run
@@ -229,6 +304,7 @@ def run_suite_extras(batch):
 
     attempt("flow_30step_heun", _flow)
     attempt("ddim_8step_trailing", _fewstep)
+    attempt("train_step", lambda: run_train_bench(batch))
     return records, compact
 
 
@@ -256,6 +332,11 @@ def main():
                          "measurement; the driver headline is 150-step DDIM")
     ap.add_argument("--steps", type=int, default=STEPS,
                     help="sampler step count (headline protocol: 150)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure ONLY the flagship train step (f32 + bf16 "
+                         "arms, amortized-sync protocol) and print its JSON "
+                         "line; refreshes TRAIN_BENCH.json. Also runs as "
+                         "part of the default suite")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the flow/few-step suite extras (they run by "
                          "default on the plain invocation so the driver "
@@ -264,6 +345,9 @@ def main():
     if args.flash and args.attention == "none":
         ap.error("--flash has no effect without attention layers; "
                  "add --attention spatial|linear")
+    if args.train:
+        print(json.dumps(run_train_bench(args.batch)))
+        return
 
     # Suite extras only on the plain driver invocation (every flag at its
     # default): one JSON line per variant, then the headline line LAST with a

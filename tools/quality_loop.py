@@ -103,11 +103,23 @@ def train_vae(x):
     return vae, state.params
 
 
-def build_pipe(vae, unet_params_init=False, family="diffusion"):
-    unet = UNet(in_ch=2, out_ch=2, hid_chs=(32, 64), kernel_sizes=(3, 3),
-                strides=(1, 2), time_emb_dim=64, cond_emb_num_classes=CLASSES,
-                norm_name=("GROUP", {"num_groups": 8, "affine": True}),
-                deep_supervision=0)
+def build_pipe(vae, unet_params_init=False, family="diffusion",
+               estimator="unet", moe=False):
+    if estimator == "dit":
+        # toy DiT (VERDICT r4 #6: record a DiT learning-at-scale data
+        # point): 16x16x2 latent, patch 2 -> 64 tokens; --moe swaps every
+        # 2nd block's MLP for a 4-expert routed MLP (DiT-MoE arm)
+        from medfusion_tpu.models.dit import DiT
+
+        unet = DiT(in_ch=2, patch_size=2, hidden_size=128, depth=4,
+                   num_heads=4, cond_emb_num_classes=CLASSES,
+                   moe_experts=4 if moe else None)
+    else:
+        unet = UNet(in_ch=2, out_ch=2, hid_chs=(32, 64), kernel_sizes=(3, 3),
+                    strides=(1, 2), time_emb_dim=64,
+                    cond_emb_num_classes=CLASSES,
+                    norm_name=("GROUP", {"num_groups": 8, "affine": True}),
+                    deep_supervision=0)
     if family == "flow":
         # rectified-flow family through the SAME loop (pipelines/flow.py):
         # scheduler-free velocity objective, Heun ODE sampling
@@ -223,7 +235,17 @@ def main():
                     default="diffusion",
                     help="flow = rectified-flow family through the same "
                          "train -> bulk-sample -> FID/P-R loop")
-    fam = ap.parse_args().family
+    ap.add_argument("--estimator", choices=("unet", "dit"), default="unet",
+                    help="dit = toy Diffusion Transformer through the same "
+                         "loop (the sixth estimator family's recorded "
+                         "learning evidence)")
+    ap.add_argument("--moe", action="store_true",
+                    help="DiT-MoE arm: every 2nd block's MLP is a 4-expert "
+                         "routed MLP (requires --estimator dit)")
+    args = ap.parse_args()
+    fam, est = args.family, args.estimator
+    if args.moe and est != "dit":
+        ap.error("--moe requires --estimator dit")
 
     assert jax.device_count() >= 8, (
         "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
@@ -231,7 +253,7 @@ def main():
     real_u8 = to_uint8(x)
 
     vae, vae_params = train_vae(x)
-    pipe, unet = build_pipe(vae, family=fam)
+    pipe, unet = build_pipe(vae, family=fam, estimator=est, moe=args.moe)
 
     # two-stage CEILING: VAE reconstructions of the real set — the best any
     # diffusion stage on this VAE could look under the same metric
@@ -261,6 +283,7 @@ def main():
     ok = fid_t < 0.5 * fid_u and p_t > 0 and r_t > 0
     print(json.dumps({
         "family": fam,
+        "estimator": est + ("-moe" if args.moe else ""),
         "protocol": "toy BASELINE-5: train AE+diffusion on synthetic blobs, "
                     "mesh-sharded bulk sample %d, FID/P-R vs %d real "
                     "(4x4-pooled pixels -> 128-d random projection featurizer)"
