@@ -40,6 +40,15 @@ def add_kernel_args(ap: argparse.ArgumentParser, attention: bool = True) -> None
                  "(the eye/colon attention configs). unet/unet_legacy "
                  "families only; presets default to 'none' (the pinned "
                  "chest protocol)")
+    if attention:
+        ap.add_argument(
+            "--attention-heads", type=int, default=8,
+            help="attention heads on the unet family (reference geometry: "
+                 "8 heads x ch/8). Fewer, wider heads keep the same "
+                 "projection shapes/param count and run the attention "
+                 "einsums up to 3.93x faster on TPU (2 heads = d>=128 at "
+                 "the preset widths; measured, tools/colon_roofline.py). "
+                 "Must divide every attended level's channel width")
     ap.add_argument(
         "--flash", action=argparse.BooleanOptionalAction, default=None,
         help="route attention through the shape-aware Pallas flash kernel "
@@ -71,6 +80,15 @@ def resolve_kernel_flags(args, parser: argparse.ArgumentParser | None = None):
              f"{'/'.join(ATTENTION_CONFIGURABLE)} families; "
              f"--estimator {estimator} fixes its own attention")
     has_attention = attention != "none" or estimator == "dit"
+
+    heads = getattr(args, "attention_heads", 8)
+    if heads != 8:
+        if estimator != "unet":
+            _err(f"--attention-heads is a unet-family option; "
+                 f"--estimator {estimator} pins its own head geometry")
+        if attention == "none":
+            _err("--attention-heads has no effect without attention layers; "
+                 "add --attention spatial|linear")
 
     flash = getattr(args, "flash", None)
     flash = has_attention if flash is None else bool(flash)

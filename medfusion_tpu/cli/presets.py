@@ -100,7 +100,8 @@ def build_vae(p: Preset, kind: str = "vae"):
     return VAE(**common)
 
 
-def build_unet(p: Preset, estimator: str = "unet", attention: str = "none"):
+def build_unet(p: Preset, estimator: str = "unet", attention: str = "none",
+               attn_heads: int = 8):
     """Noise estimator by family: 'unet' (reference unet2), 'unet_legacy'
     (reference estimators/unet.py), 'openai' (the SD/ADM UNet, reference
     external/stable_diffusion/unet_openai.py), 'lucidrains' (the compact
@@ -111,12 +112,20 @@ def build_unet(p: Preset, estimator: str = "unet", attention: str = "none"):
 
     ``attention`` is the reference's per-level ``use_attention`` config
     ('none'|'linear'|'spatial', attention_blocks.py:291-335), honored by
-    the unet/unet_legacy families (CLI: ``--attention``)."""
+    the unet/unet_legacy families (CLI: ``--attention``). ``attn_heads``
+    (unet family only) trades heads for head width at the SAME projection
+    shapes/param count — 2 heads x d=128 runs the attention einsums up to
+    3.93x faster on TPU than the reference's 8 x d=32 (measured,
+    tools/colon_roofline.py; the MXU contracts 128-deep)."""
     n = len(p.unet_hid_chs)
     if attention != "none" and estimator not in ("unet", "unet_legacy"):
         raise ValueError(
             f"attention={attention!r} only configures the unet/unet_legacy "
             f"families; estimator {estimator!r} fixes its own attention")
+    if attn_heads != 8 and estimator != "unet":
+        raise ValueError(
+            f"attn_heads={attn_heads} is a unet-family option; "
+            f"{estimator!r} pins the reference head geometry")
     if estimator == "dit":
         from medfusion_tpu.models.dit import DiT
 
@@ -177,7 +186,7 @@ def build_unet(p: Preset, estimator: str = "unet", attention: str = "none"):
         raise ValueError(f"unknown estimator {estimator!r}")
     from medfusion_tpu.models.unet import UNet
 
-    return UNet(use_res_block=True, **common)
+    return UNet(use_res_block=True, attn_heads=attn_heads, **common)
 
 
 def build_scheduler(p: Preset, zero_terminal_snr: bool = False):

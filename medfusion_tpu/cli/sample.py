@@ -32,7 +32,8 @@ def load_pipeline(args, p):
     key = jax.random.PRNGKey(args.seed)
     vae = build_vae(p)
     unet = build_unet(p, getattr(args, "estimator", "unet"),
-                      attention=getattr(args, "attention", "none"))
+                      attention=getattr(args, "attention", "none"),
+                      attn_heads=getattr(args, "attention_heads", 8))
     if getattr(args, "family", "diffusion") == "flow":
         from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
 

@@ -146,7 +146,8 @@ def _train(args, resume: bool):
     key = jax.random.PRNGKey(args.seed)
 
     vae = build_vae(p)
-    unet = build_unet(p, args.estimator, attention=args.attention)
+    unet = build_unet(p, args.estimator, attention=args.attention,
+                      attn_heads=getattr(args, "attention_heads", 8))
     if args.remat and hasattr(unet, "remat"):
         unet = unet.replace(remat=True)
     if args.family == "flow":
@@ -226,7 +227,8 @@ def _train(args, resume: bool):
                            ("family", args.family),
                            ("objective", args.objective),
                            ("estimator", args.estimator),
-                           ("attention", args.attention)):
+                           ("attention", args.attention),
+                           ("attention_heads", getattr(args, "attention_heads", 8))):
                 if k in saved and saved[k] != now:
                     # a silent mismatch either DROPS the trained EMA or
                     # seeds it with this process's random init
@@ -261,7 +263,8 @@ def _train(args, resume: bool):
                                           "family": args.family,
                                           "objective": args.objective,
                                           "estimator": args.estimator,
-                                          "attention": args.attention},
+                                          "attention": args.attention,
+                                          "attention_heads": getattr(args, "attention_heads", 8)},
                                   keep_top_k=2)
                 C.save_best_checkpoint(ckpt_dir, step, float(metrics["loss"]),
                                        state=state)

@@ -54,6 +54,25 @@ def up_output_shape(
     return tuple((sz - 1) * si + ki - 2 * pi for sz, ki, si, pi in zip(in_shape, k, s, p))
 
 
+def _take_or_repeat(x: jnp.ndarray, idx: np.ndarray, axis: int,
+                    in_sz: int, out_sz: int) -> jnp.ndarray:
+    """Apply a constant per-axis resize index. When the index is exactly an
+    integer-ratio repeat ([0,0,1,1,...] for 2x — true for every nearest AND
+    nearest-exact integer upscale), use expand+broadcast+reshape instead of
+    ``jnp.take``: XLA lowers the constant-index gather as a real gather on
+    TPU while the broadcast is a free layout op (decode-path win, PARITY.md
+    round-5 decode roofline). Bit-identical elements either way."""
+    r = out_sz // in_sz
+    if r * in_sz == out_sz and np.array_equal(
+            idx, np.repeat(np.arange(in_sz), r)):
+        ax = axis
+        x = jnp.expand_dims(x, ax + 1)
+        shape = x.shape[:ax + 1] + (r,) + x.shape[ax + 2:]
+        x = jnp.broadcast_to(x, shape)
+        return x.reshape(x.shape[:ax] + (out_sz,) + x.shape[ax + 2:])
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
 def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """torch F.interpolate(mode='nearest-exact') for channels-last [B, *spatial, C].
 
@@ -66,7 +85,7 @@ def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarra
             continue
         scale = in_sz / out_sz
         idx = np.minimum(np.floor((np.arange(out_sz) + 0.5) * scale).astype(np.int32), in_sz - 1)
-        x = jnp.take(x, jnp.asarray(idx), axis=axis + 1)
+        x = _take_or_repeat(x, idx, axis + 1, in_sz, out_sz)
     return x
 
 
@@ -78,7 +97,7 @@ def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
             continue
         scale = in_sz / out_sz
         idx = np.minimum(np.floor(np.arange(out_sz) * scale).astype(np.int32), in_sz - 1)
-        x = jnp.take(x, jnp.asarray(idx), axis=axis + 1)
+        x = _take_or_repeat(x, idx, axis + 1, in_sz, out_sz)
     return x
 
 

@@ -103,6 +103,56 @@ def test_build_unet_rejects_attention_on_fixed_families():
         build_unet(PRESETS["smoke"], "openai", attention="spatial")
 
 
+def test_wide_head_attention_same_param_tree_different_forward():
+    """attn_heads trades heads for width at IDENTICAL projection shapes
+    (the TPU wide-head config, tools/colon_roofline.py): the param trees
+    match leaf-for-leaf; only the softmax grouping (hence the output)
+    changes."""
+    p = PRESETS["smoke"]
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                     (2, *p.latent_shape)), np.float32)
+    t = np.zeros((2,), np.int32)
+    c = np.zeros((2,), np.int32)
+    key = jax.random.PRNGKey(0)
+
+    def build(heads):
+        m = build_unet(p, "unet", attention="spatial", attn_heads=heads)
+        return m, m.init(key, z, t, c)["params"]
+
+    m8, p8 = build(8)
+    m2, p2 = build(2)
+    s8 = jax.tree_util.tree_map(lambda v: v.shape, p8)
+    s2 = jax.tree_util.tree_map(lambda v: v.shape, p2)
+    assert s8 == s2
+    # same weights, different grouping -> different features. At random
+    # init the attention to_out projections are ZERO-init (reference
+    # parity), which makes every attention block an exact no-op — perturb
+    # them so the head-dependent path actually reaches the output.
+    def _fill_to_out(path, v):
+        if any(getattr(k, "key", None) == "to_out" for k in path):
+            return jax.random.normal(jax.random.PRNGKey(7), v.shape,
+                                     v.dtype) * 0.05
+        return v
+
+    p8 = jax.tree_util.tree_map_with_path(_fill_to_out, p8)
+    emb = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
+                                       (2, p.unet_hid_chs[-1])), np.float32)
+    f8 = m8.apply({"params": p8}, z, emb, method=m8.encode_features)[-1]
+    f2 = m2.apply({"params": p8}, z, emb, method=m2.encode_features)[-1]
+    assert not np.allclose(np.asarray(f8), np.asarray(f2))
+
+
+def test_attention_heads_flag_validation():
+    with pytest.raises(ValueError, match="unet-family"):
+        resolve_kernel_flags(_args(estimator="openai", attention_heads=2))
+    with pytest.raises(ValueError, match="no effect"):
+        resolve_kernel_flags(_args(attention_heads=2))
+    resolve_kernel_flags(_args(attention="spatial", attention_heads=2))
+    with pytest.raises(ValueError, match="unet-family"):
+        build_unet(PRESETS["smoke"], "unet_legacy", attention="linear",
+                   attn_heads=2)
+
+
 # ------------------------------------------------- end-to-end CLI round trip
 
 

@@ -115,6 +115,17 @@ def test_nearest_exact_parity(in_sz, out_sz):
     np.testing.assert_array_equal(y, yt)
 
 
+@pytest.mark.parametrize("in_sz,out_sz", [(8, 16), (8, 24), (5, 13)])
+def test_nearest_parity_incl_repeat_fast_path(in_sz, out_sz):
+    """mode='nearest' parity; the integer-ratio cases (2x, 3x) exercise the
+    broadcast+reshape fast path of _take_or_repeat (decode-path win), the
+    non-integer case the gather fallback."""
+    x = rand((2, in_sz, in_sz, 3), seed=11)
+    y = np.asarray(F.interpolate_nearest(jnp.asarray(x), (out_sz, out_sz)))
+    yt = O.nhwc(TF.interpolate(O.nchw(x), size=(out_sz, out_sz), mode="nearest"))
+    np.testing.assert_array_equal(y, yt)
+
+
 @pytest.mark.parametrize("in_sz,out_sz", [(16, 8), (16, 4), (15, 4), (9, 5)])
 def test_area_interpolate_parity(in_sz, out_sz):
     x = rand((2, in_sz, in_sz, 3), seed=8)
