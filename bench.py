@@ -129,7 +129,8 @@ def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
 
 
 def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
-              sampler="ddim", steps=STEPS, eta=1.0, timestep_spacing="linspace"):
+              sampler="ddim", steps=STEPS, eta=1.0, timestep_spacing="linspace",
+              amortize=1):
     cond = jnp.zeros((batch,), jnp.int32)
     lat = PRESETS[preset]["latent"]
 
@@ -157,9 +158,18 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
     float(compiled(params, jax.random.PRNGKey(0)))  # settle
     times = []
     for i in range(RUNS):
+        # amortize > 1 (few-step programs): dispatch K batches async, ONE
+        # scalar fetch — a single-device stream executes programs in order,
+        # so fetching the last checksum waits for all K. Per-dispatch tunnel
+        # latency (~26 ms, tools/few_step_profile.py) amortizes to latency/K,
+        # exactly like a production serving loop; the long programs keep the
+        # historical single-dispatch protocol (overhead <0.1% at 150 steps).
+        keys = [jax.random.PRNGKey(i * amortize + j + 1)
+                for j in range(amortize)]
         t0 = time.perf_counter()
-        float(compiled(params, jax.random.PRNGKey(i + 1)))
-        times.append(time.perf_counter() - t0)
+        outs = [compiled(params, k) for k in keys]
+        float(outs[-1])
+        times.append((time.perf_counter() - t0) / amortize)
     dt = min(times)
 
     samples_per_sec = batch / dt
@@ -187,6 +197,7 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
         "mfu": round(mfu, 4),
         "batch": batch,
         "tflops_per_sample": round(fps / 1e12, 3),
+        **({"amortized_dispatch": amortize} if amortize > 1 else {}),
     }
 
 
@@ -302,10 +313,19 @@ def run_suite_extras(batch):
         fps = flops_per_sample(pipe, params, "chest", nfe=8)
         return run_bench(pipe, params, batch, fps, "chest", "none",
                          sampler="ddim", steps=8, eta=0.0,
-                         timestep_spacing="trailing")
+                         timestep_spacing="trailing", amortize=8)
+
+    def _flow_1nfe():
+        # the reflow/CT one-step-student protocol (PARITY "few-step
+        # decomposition"): flow Euler, 1 NFE — the program is ~2/3 VAE decode
+        pipe, params = build("chest", "none", family="flow")
+        fps = flops_per_sample(pipe, params, "chest", nfe=1)
+        return run_bench(pipe, params, batch, fps, "chest", "none",
+                         sampler="flow", steps=1, amortize=8)
 
     attempt("flow_30step_heun", _flow)
     attempt("ddim_8step_trailing", _fewstep)
+    attempt("flow_1nfe", _flow_1nfe)
     attempt("train_step", lambda: run_train_bench(batch))
     return records, compact
 
@@ -383,17 +403,21 @@ def main():
 
         ops.enable_fused_geglu(True)
 
+    # few-step programs use the amortized-sync protocol (see run_bench);
+    # matches the suite's 8-step/1-NFE lines so standalone runs reproduce them
+    amortize = 8 if nfe <= 8 else 1
     if args.sweep:
         results = []
         for b in (32, 64, 128):
             r = run_bench(pipe, params, b, fps, args.preset, _attn_label(args),
-                          args.sampler, args.steps)
+                          args.sampler, args.steps, amortize=amortize)
             print(f"# batch {b}: {r['value']} samples/s  mfu={r['mfu']}", flush=True)
             results.append(r)
         best = max(results, key=lambda r: r["value"])
     else:
         best = run_bench(pipe, params, args.batch, fps, args.preset,
-                         _attn_label(args), args.sampler, args.steps)
+                         _attn_label(args), args.sampler, args.steps,
+                         amortize=amortize)
     if suite_compact is not None:
         best["suite"] = suite_compact
         try:

@@ -184,10 +184,19 @@ class DiffusionPipeline(DDIMSamplerMixin, DPMSolverMixin, EDMSamplerMixin,
             return z
         if self.latent_scale != 1.0 or self.latent_shift != 0.0:
             z = z / self.latent_scale + self.latent_shift
+        le_params = params["latent_embedder"]
         if self.compute_dtype is not None:
+            # cast the PARAMS too, not just the input: flax promotes
+            # bf16-activation x f32-param convs back to f32, so without this
+            # a caller that keeps master params in f32 (every product CLI;
+            # bench.py pre-casts and never noticed) pays the f32 decode
+            # (measured 31.3 vs 23.0 ms at B=32, tools/decode_profile.py) —
+            # mirrors encode_latent above
             z = z.astype(self.compute_dtype)
+            le_params = jax.tree_util.tree_map(
+                lambda v: v.astype(self.compute_dtype), le_params)
         out = self.latent_embedder.apply(
-            {"params": params["latent_embedder"]}, z,
+            {"params": le_params}, z,
             method=self.latent_embedder.decode,
         )
         return out.astype(jnp.float32) if self.compute_dtype is not None else out
