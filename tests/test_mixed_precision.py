@@ -109,6 +109,79 @@ def test_dit_bf16_stays_bf16():
     assert _out_dtype(m, X, T, C) == jnp.bfloat16
 
 
+def _conv_dtypes(closed_jaxpr):
+    """Dtypes of every conv_general_dilated input, walking nested jaxprs."""
+    out = []
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                out.extend(v.aval.dtype for v in eqn.invars)
+            for p in eqn.params.values():
+                inner = getattr(p, "jaxpr", None)
+                if inner is not None:
+                    walk(inner)
+
+    walk(closed_jaxpr.jaxpr)
+    return out
+
+
+def _tiny_pipe(compute_dtype):
+    from medfusion_tpu.core.schedules import GaussianDiffusionSchedule
+    from medfusion_tpu.models.latent_embedders import VAE
+    from medfusion_tpu.pipelines.diffusion import DiffusionPipeline
+
+    vae = VAE(in_channels=3, out_channels=3, emb_channels=4, hid_chs=(32, 64),
+              kernel_sizes=(3, 3), strides=(1, 2), deep_supervision=0)
+    unet = UNet(in_ch=4, out_ch=4, hid_chs=(32, 64), kernel_sizes=(3, 3),
+                strides=(1, 2), time_emb_dim=32, cond_emb_num_classes=2,
+                deep_supervision=0, use_attention="none")
+    k = jax.random.PRNGKey(0)
+    params = {
+        "noise_estimator": unet.init(
+            k, jnp.zeros((1, 8, 8, 4)), T[:1], C[:1])["params"],
+        "latent_embedder": vae.init(
+            {"params": k, "sample": k}, jnp.zeros((1, 16, 16, 3)))["params"],
+    }  # f32 MASTER params — the product-CLI regime
+    pipe = DiffusionPipeline(
+        scheduler=GaussianDiffusionSchedule.create(),
+        noise_estimator=unet, latent_embedder=vae,
+        compute_dtype=compute_dtype)
+    return pipe, params
+
+
+def test_decode_latent_bf16_convs_with_f32_masters():
+    """Round-5 measured bug: flax promotes bf16-activation x f32-param convs
+    back to f32, so decode_latent under compute_dtype=bf16 ran the f32
+    decode (31.3 vs 23.0 ms at B=32) for every caller holding f32 master
+    params — all product CLIs. decode_latent must cast the latent-embedder
+    params too (as encode_latent already did)."""
+    pipe, params = _tiny_pipe(jnp.bfloat16)
+    z = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    jaxpr = jax.make_jaxpr(pipe.decode_latent)(params, z)
+    dts = _conv_dtypes(jaxpr)
+    assert dts and all(d == jnp.bfloat16 for d in dts), dts
+    # output contract unchanged: f32 out
+    out = jax.eval_shape(pipe.decode_latent, params, z)
+    assert out.dtype == jnp.float32
+
+
+def test_encode_latent_bf16_convs_with_f32_masters():
+    pipe, params = _tiny_pipe(jnp.bfloat16)
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda p, xx: pipe.encode_latent(p, xx, jax.random.PRNGKey(0)))(params, x)
+    dts = _conv_dtypes(jaxpr)
+    assert dts and all(d == jnp.bfloat16 for d in dts), dts
+
+
+def test_decode_latent_f32_pipe_stays_f32():
+    pipe, params = _tiny_pipe(None)
+    z = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    dts = _conv_dtypes(jax.make_jaxpr(pipe.decode_latent)(params, z))
+    assert dts and all(d == jnp.float32 for d in dts), dts
+
+
 def test_f32_program_unchanged():
     """No compute_dtype: everything stays f32 (the parity-test regime)."""
     m = UNet(in_ch=4, out_ch=4, hid_chs=(8, 8, 16), kernel_sizes=(3, 3, 3),
