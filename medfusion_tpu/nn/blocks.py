@@ -141,10 +141,34 @@ class Norm(nn.Module):
         raise NotImplementedError(f"norm {self.norm_name!r}")
 
 
+class _ConvParams(nn.Module):
+    """Raw conv kernel/bias params with nn.Conv's exact names, shapes, and
+    init draws (same scope path -> same RNG folds), for compute paths that
+    bypass ``nn.Conv.__call__`` (the fused upsample-conv)."""
+
+    kshape: Sequence[int]
+    kernel_init: Any
+    bias_init: Any
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, tuple(self.kshape))
+        b = (self.param("bias", self.bias_init, (self.kshape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
 class ConvND(nn.Module):
     """Conv with MONAI same-ish padding and torch default init.
 
     Input/kernel layout: [B, *spatial, C] / [*k, I, O].
+
+    ``fused_up2x=True`` (2D, k=3, s=1 only): the input is the LOW-RES tensor
+    and the module computes ``conv3x3(nearest-2x-upsample(x))`` via the
+    4-phase 2x2 decomposition (``F.fused_up2x_conv`` — same linear map,
+    2.25x fewer FLOPs). The param tree is identical to the unfused module
+    (checkpoints interchange freely).
     """
 
     spatial_dims: int
@@ -153,6 +177,7 @@ class ConvND(nn.Module):
     stride: Union[int, Sequence[int]] = 1
     zero_init: bool = False
     use_bias: bool = True
+    fused_up2x: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -170,6 +195,18 @@ class ConvND(nn.Module):
         else:
             kernel_init = F.torch_conv_kernel_init
             bias_init = F.make_torch_bias_init(fan_in)
+        if self.fused_up2x:
+            if n != 2 or k != (3, 3) or s != (1, 1):
+                raise ValueError(
+                    f"fused_up2x requires 2D k=3 s=1, got dims={n} k={k} s={s}")
+            kernel, bias = _ConvParams(
+                (3, 3, in_ch, self.out_channels), kernel_init, bias_init,
+                self.use_bias, name="conv")()
+            # match nn.Conv's dtype promotion (inputs/params -> common dtype)
+            from flax.linen.dtypes import promote_dtype
+
+            x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+            return F.fused_up2x_conv(x, kernel, bias)
         return nn.Conv(
             features=self.out_channels,
             kernel_size=k,
@@ -398,10 +435,21 @@ class BasicUp(nn.Module):
     @nn.compact
     def __call__(self, x, emb=None, train: bool = False):
         new_size = F.up_output_shape(x.shape[1:-1], self.kernel_size, self.stride)
-        x_res = F.interpolate_nearest_exact(x, new_size)
         if not self.learnable_interpolation:
-            return x_res
-        y = ConvND(self.spatial_dims, self.out_channels, 3, 1, name="up_conv")(x_res)
+            return F.interpolate_nearest_exact(x, new_size)
+        import medfusion_tpu.ops as ops
+
+        # exact-math FLOP cut (ops.enable_fused_up_conv): at integer 2x the
+        # upsample+conv pair collapses to 4 phase convs on the low-res grid
+        # (F.fused_up2x_conv). Param tree identical either way.
+        fuse = (ops.fused_up_conv_enabled() and self.spatial_dims == 2
+                and tuple(new_size) == tuple(2 * sz for sz in x.shape[1:-1]))
+        if fuse:
+            y = ConvND(self.spatial_dims, self.out_channels, 3, 1,
+                       fused_up2x=True, name="up_conv")(x)
+        else:
+            y = ConvND(self.spatial_dims, self.out_channels, 3, 1,
+                       name="up_conv")(F.interpolate_nearest_exact(x, new_size))
         if self.use_res:
             y = y + pixel_shuffle(x)
         return y

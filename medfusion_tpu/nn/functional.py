@@ -89,6 +89,48 @@ def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarra
     return x
 
 
+def fused_up2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: jnp.ndarray | None) -> jnp.ndarray:
+    """``conv3x3(nearest-2x-upsample(x))`` as FOUR 2x2 phase convs on the
+    LOW-RES grid + pixel-shuffle interleave — the same linear map with
+    16 MACs per output pixel instead of 36 (2.25x fewer FLOPs).
+
+    Exactness: every 3x3 window on the 2x-upsampled grid (source index
+    ``j//2``, true for nearest AND nearest-exact at integer ratio 2) reads at
+    most 2 distinct source pixels per axis; taps that land on the same source
+    pixel have their WEIGHTS summed, so each output parity class
+    (even/odd row x even/odd col) is an exact 2x2 convolution:
+
+    * even outputs ``2m``:   upsampled rows (2m-1, 2m, 2m+1) -> sources
+      (m-1, m, m) -> row taps ``[w0, w1+w2]`` over (m-1, m), pad (1, 0);
+    * odd outputs ``2m+1``:  sources (m, m, m+1) -> ``[w0+w1, w2]`` over
+      (m, m+1), pad (0, 1).
+
+    f32 outputs match the unfused path to ~2e-7 max-rel (one weight-add
+    reassociation per tap pair); gradients are the transposed phase convs.
+    NHWC / HWIO (3, 3, I, O); upsample+conv FLOPs are ~46% of the VAE decode
+    and the UNet decoder's BasicUp path (PARITY.md round-5 decode roofline).
+    """
+    w = kernel
+    even = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], w.dtype)
+    odd = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], w.dtype)
+    pads = {0: (1, 0), 1: (0, 1)}
+
+    def phase(pr, pc):
+        comb_r, comb_c = (even, odd)[pr], (even, odd)[pc]
+        k = jnp.einsum("ri,cj,ijab->rcab", comb_r, comb_c, w)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [pads[pr], pads[pc]],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    b, h, wd, _ = x.shape
+    c = w.shape[-1]
+    y = jnp.stack([phase(0, 0), phase(0, 1), phase(1, 0), phase(1, 1)], axis=3)
+    y = y.reshape(b, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, 2 * h, 2 * wd, c)
+    return y if bias is None else y + bias
+
+
 def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """torch F.interpolate(mode='nearest'): src = min(floor(dst * in/out), in-1)."""
     spatial = x.shape[1:-1]

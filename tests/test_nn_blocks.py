@@ -280,3 +280,161 @@ def test_pixel_shuffle_roundtrip():
     yt = O.nhwc(tnn.PixelUnshuffle(2)(O.nchw(x)))
     # channel ordering differs between torch (C,r1,r2) and einops (c r1 r2)? verify:
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-6, atol=1e-7)
+
+
+@pytest.fixture
+def fused_up_conv_switch():
+    import medfusion_tpu.ops as ops
+
+    ops.enable_fused_up_conv(True)
+    try:
+        yield
+    finally:
+        ops.enable_fused_up_conv(False)
+
+
+def test_fused_up2x_conv_function_exact():
+    """F.fused_up2x_conv == conv3x3(nearest-2x) to f32 rounding, odd sizes."""
+    x = jnp.asarray(rand((2, 5, 7, 6), seed=30))
+    w = jnp.asarray(rand((3, 3, 6, 4), seed=31))
+    b = jnp.asarray(rand((4,), seed=32))
+    up = F.interpolate_nearest_exact(x, (10, 14))
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    y = F.fused_up2x_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_up2x_conv_grads_exact():
+    x = jnp.asarray(rand((1, 4, 4, 3), seed=33))
+    w = jnp.asarray(rand((3, 3, 3, 5), seed=34))
+    b = jnp.asarray(rand((5,), seed=35))
+
+    def loss(fn):
+        return lambda x, w, b: jnp.sum(jnp.sin(fn(x, w, b)))
+
+    def ref(x, w, b):
+        up = F.interpolate_nearest_exact(x, (8, 8))
+        return jax.lax.conv_general_dilated(
+            up, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    ga = jax.grad(loss(ref), argnums=(0, 1, 2))(x, w, b)
+    gf = jax.grad(loss(F.fused_up2x_conv), argnums=(0, 1, 2))(x, w, b)
+    for a, f in zip(ga, gf):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_basic_up_fused_param_tree_and_output(fused_up_conv_switch):
+    """Switch ON: identical param tree, identical init draws, same output to
+    f32 rounding — checkpoints interchange freely between modes."""
+    import medfusion_tpu.ops as ops
+
+    x = jnp.asarray(rand((2, 8, 8, 16), seed=36))
+    m = mnn.BasicUp(2, 16, kernel_size=2, stride=2)
+    p_fused = m.init(KEY, x)["params"]
+    y_fused = m.apply({"params": p_fused}, x)
+
+    ops.enable_fused_up_conv(False)
+    p_plain = m.init(KEY, x)["params"]
+    y_plain = m.apply({"params": p_plain}, x)
+    # same tree, same shapes, same init VALUES (same scope path -> same RNG)
+    assert jax.tree_util.tree_structure(p_fused) == jax.tree_util.tree_structure(p_plain)
+    for a, b in zip(jax.tree_util.tree_leaves(p_fused),
+                    jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_basic_up_fused_ineligible_fallback(fused_up_conv_switch):
+    """3D and non-2x ratios must fall back to the unfused path (and agree
+    with themselves when the switch flips — i.e. the gate never fires)."""
+    import medfusion_tpu.ops as ops
+
+    # 3D
+    x3 = jnp.asarray(rand((1, 4, 4, 4, 8), seed=37))
+    m3 = mnn.BasicUp(3, 8, kernel_size=2, stride=2)
+    p3 = m3.init(KEY, x3)["params"]
+    y_on = m3.apply({"params": p3}, x3)
+    ops.enable_fused_up_conv(False)
+    y_off = m3.apply({"params": p3}, x3)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+    ops.enable_fused_up_conv(True)
+
+    # 3x ratio (stride 3): up_output_shape -> 3x, not 2x -> gate must not fire
+    x = jnp.asarray(rand((1, 4, 4, 8), seed=38))
+    m = mnn.BasicUp(2, 8, kernel_size=3, stride=3)
+    p = m.init(KEY, x)["params"]
+    y_on = m.apply({"params": p}, x)
+    ops.enable_fused_up_conv(False)
+    y_off = m.apply({"params": p}, x)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+    ops.enable_fused_up_conv(True)
+
+
+def _randomize(params, seed):
+    """Replace every leaf with random values — the models' output heads are
+    ZERO-initialized (zero_conv=True), so a random-INIT on/off comparison is
+    vacuously 0.0; randomized weights make the fused path reach the output."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(rng.normal(0, 0.2, l.shape).astype(np.float32)) for l in leaves])
+
+
+def test_vae_decode_fused_up_conv_equivalence(fused_up_conv_switch):
+    """Full VAE decode with the switch on == off to f32 rounding (the decode
+    path has 3 BasicUps; PARITY round-5 decode roofline)."""
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.models.latent_embedders import VAE
+
+    vae = VAE(in_channels=3, out_channels=3, emb_channels=4,
+              hid_chs=(32, 64), kernel_sizes=(3, 3), strides=(1, 2),
+              deep_supervision=0)
+    k = jax.random.PRNGKey(0)
+    vp = vae.init({"params": k, "sample": k}, jnp.zeros((1, 16, 16, 3)))["params"]
+    vp = _randomize(vp, seed=41)
+    z = jnp.asarray(rand((2, 8, 8, 4), seed=39))
+    y_on = vae.apply({"params": vp}, z, method=vae.decode)
+    # the gate must actually fire: fused decode has +3 convs per BasicUp
+    # (fresh lambdas per trace — jit caches key on function identity)
+    n_on = str(jax.make_jaxpr(
+        lambda z: vae.apply({"params": vp}, z, method=vae.decode))(z)
+    ).count("conv_general_dilated")
+    ops.enable_fused_up_conv(False)
+    y_off = vae.apply({"params": vp}, z, method=vae.decode)
+    n_off = str(jax.make_jaxpr(
+        lambda z: vae.apply({"params": vp}, z, method=vae.decode))(z)
+    ).count("conv_general_dilated")
+    assert n_on == n_off + 3, (n_on, n_off)
+    assert float(jnp.max(jnp.abs(y_on - y_off))) > 0  # not vacuous
+    # scale-aware: randomized (unnormalized) weights amplify the one
+    # weight-add reassociation per tap pair through downstream layers
+    tol = 1e-3 * float(jnp.max(jnp.abs(y_off))) + 1e-5
+    assert float(jnp.max(jnp.abs(y_on - y_off))) <= tol
+    ops.enable_fused_up_conv(True)
+
+
+def test_unet_forward_fused_up_conv_equivalence(fused_up_conv_switch):
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.models.unet import UNet
+
+    m = UNet(in_ch=4, out_ch=4, hid_chs=(32, 32, 64), kernel_sizes=(3, 3, 3),
+             strides=(1, 2, 2), time_emb_dim=32, cond_emb_num_classes=2,
+             deep_supervision=0, use_attention="none",
+             norm_name=("GROUP", {"num_groups": 8, "affine": True}))
+    x = jnp.asarray(rand((2, 16, 16, 4), seed=40))
+    t = jnp.zeros((2,), jnp.int32)
+    p = _randomize(m.init(KEY, x, t, t)["params"], seed=42)
+    y_on = m.apply({"params": p}, x, t, t)[0]
+    ops.enable_fused_up_conv(False)
+    y_off = m.apply({"params": p}, x, t, t)[0]
+    assert float(jnp.max(jnp.abs(y_on - y_off))) > 0  # not vacuous
+    tol = 1e-3 * float(jnp.max(jnp.abs(y_off))) + 1e-5
+    assert float(jnp.max(jnp.abs(y_on - y_off))) <= tol
+    ops.enable_fused_up_conv(True)
