@@ -109,14 +109,25 @@ def build(preset="chest", attention="none", family="diffusion", attn_heads=8):
 def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
     """One UNet forward x ``nfe`` + one decode, from XLA cost analysis
     (compiled on local CPU — FLOP counts are backend-independent and this
-    avoids extra remote-compile round trips)."""
+    avoids extra remote-compile round trips).
+
+    SEMANTIC FLOPs: the fused 2x-upsample+conv decomposition (2.25x fewer
+    MACs on converted levels) is forced OFF for the count so every round's
+    mfu/tflops_per_sample shares the unfused numerator — the measured time
+    is the only thing the switch changes (PARITY.md fused-up A/B)."""
+    import medfusion_tpu.ops as ops
+
     def flops_of(f, *args):
+        prev = ops.fused_up_conv_enabled()
+        ops.enable_fused_up_conv(False)
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 return float(jax.jit(f).lower(*args).compile().cost_analysis()["flops"])
         except Exception:
             return 0.0
+        finally:
+            ops.enable_fused_up_conv(prev)
 
     z1 = jnp.zeros((1,) + PRESETS[preset]["latent"], jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.int32)
@@ -172,6 +183,8 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
         times.append((time.perf_counter() - t0) / amortize)
     dt = min(times)
 
+    import medfusion_tpu.ops as _ops
+
     samples_per_sec = batch / dt
     mfu = (fps * samples_per_sec / V5E_PEAK_FLOPS) if fps > 0 else float("nan")
     vs = (samples_per_sec / (A100_EFFECTIVE_FLOPS / fps)) if fps > 0 else float("nan")
@@ -197,6 +210,9 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
         "mfu": round(mfu, 4),
         "batch": batch,
         "tflops_per_sample": round(fps / 1e12, 3),
+        # actual trace-time state of the exact up+conv decomposition (mfu's
+        # FLOP numerator stays unfused either way — see flops_per_sample)
+        "fused_up": _ops.fused_up_conv_enabled(),
         **({"amortized_dispatch": amortize} if amortize > 1 else {}),
     }
 
@@ -216,6 +232,7 @@ def run_train_bench(batch=DEFAULT_BATCH, n_steps=20):
     import numpy as np
     import optax
 
+    import medfusion_tpu.ops as ops
     from medfusion_tpu.train import TrainState, make_diffusion_train_step
 
     pipe, _ = build("chest")
@@ -248,6 +265,10 @@ def run_train_bench(batch=DEFAULT_BATCH, n_steps=20):
     dt_f32, _ = time_arm(None)
     dt_bf16, jstep = time_arm(jnp.bfloat16)
     try:
+        # cost analysis of the EXECUTED program (identical HLO -> persistent
+        # compile-cache hit, no extra remote compile). With fused-up enabled
+        # the count is the executed (reduced) FLOPs, so train_mfu_bf16 is
+        # executed-MFU — the fused_up field records which numerator applies.
         cost = jstep.lower(state, vae_params, batch_data,
                            jax.random.PRNGKey(0)).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -266,6 +287,7 @@ def run_train_bench(batch=DEFAULT_BATCH, n_steps=20):
         "tflops_per_step": round(flops / 1e12, 3) if flops else None,
         "train_mfu_bf16": (round(flops / dt_bf16 / V5E_PEAK_FLOPS, 4)
                            if flops else None),
+        "fused_up": ops.fused_up_conv_enabled(),
     }
     try:
         with open("TRAIN_BENCH.json", "w") as f:
@@ -352,6 +374,14 @@ def main():
                     help="route the transformer MLP through the fused "
                          "LN+GEGLU+proj Pallas kernel (ops/geglu.py; only "
                          "meaningful with --attention spatial)")
+    ap.add_argument("--fused-up", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="exact 4-phase 2x2 decomposition of every "
+                         "integer-2x upsample+3x3-conv pair (UNet + VAE "
+                         "decoder). Default ON — matches the product CLIs; "
+                         "measured decode +9.4%%, UNet step +1.5%% "
+                         "(PARITY.md round 5). MFU keeps the unfused "
+                         "(semantic) FLOP numerator either way")
     ap.add_argument("--sampler", choices=["ddim", "edm", "flow"],
                     default="ddim",
                     help="opt-in EDM (Karras Heun) or rectified-flow ODE "
@@ -371,6 +401,11 @@ def main():
     if args.flash and args.attention == "none":
         ap.error("--flash has no effect without attention layers; "
                  "add --attention spatial|linear")
+    # flip BEFORE any tracing (read at trace time by BasicUp); the FLOP
+    # counters force it off around their own lowerings (semantic numerator)
+    import medfusion_tpu.ops as _ops
+
+    _ops.enable_fused_up_conv(args.fused_up)
     if args.train:
         print(json.dumps(run_train_bench(args.batch)))
         return
@@ -382,7 +417,8 @@ def main():
                    and args.batch == DEFAULT_BATCH and args.preset == "chest"
                    and args.attention == "none" and not args.flash
                    and not args.fused_geglu and args.attention_heads == 8
-                   and args.sampler == "ddim" and args.steps == STEPS)
+                   and args.sampler == "ddim" and args.steps == STEPS
+                   and args.fused_up)
     suite_records, suite_compact = ([], None)
     if default_run:
         suite_records, suite_compact = run_suite_extras(args.batch)

@@ -59,11 +59,19 @@ def add_kernel_args(ap: argparse.ArgumentParser, attention: bool = True) -> None
         help="route the SpatialTransformer MLP through the fused "
              "LN+GEGLU+proj Pallas kernel (ops/geglu.py). Default: auto — "
              "on with --attention spatial")
+    ap.add_argument(
+        "--fused-up", action=argparse.BooleanOptionalAction, default=None,
+        help="route integer-2x nearest-upsample + 3x3-conv pairs (UNet and "
+             "VAE decoder up-levels) through the exact 4-phase 2x2-conv "
+             "decomposition (2.25x fewer MACs; measured decode +9.4%%, "
+             "UNet step +1.5%%, PARITY.md round 5). Pure XLA, identical "
+             "param tree; self-gates to 2D k=3 s=1. Default: on")
 
 
 def resolve_kernel_flags(args, parser: argparse.ArgumentParser | None = None):
     """Resolve the auto defaults against the requested model and flip the
-    global ops switches. Returns ``(flash, fused_geglu)`` as resolved bools.
+    global ops switches. Returns ``(flash, fused_geglu, fused_up)`` as
+    resolved bools.
 
     Must run before any pipeline function is traced — the switches are read
     at trace time (``nn.attention.compute_attention``).
@@ -103,8 +111,15 @@ def resolve_kernel_flags(args, parser: argparse.ArgumentParser | None = None):
         _err("--fused-geglu has no effect without --attention spatial "
              "(DiT's MLP is GELU, not GEGLU)")
 
+    # fused 2x-upsample+conv is model-agnostic (exact linear map, identical
+    # param tree, self-gates to 2D k=3 s=1 integer-2x pairs) and measured
+    # faster on both the VAE decoder and the UNet step — default ON.
+    fused_up = getattr(args, "fused_up", None)
+    fused_up = True if fused_up is None else bool(fused_up)
+
     import medfusion_tpu.ops as ops
 
     ops.enable_flash_attention(flash)
     ops.enable_fused_geglu(fused)
-    return flash, fused
+    ops.enable_fused_up_conv(fused_up)
+    return flash, fused, fused_up

@@ -28,13 +28,14 @@ def _reset_kernel_switches():
     ops.enable_flash_attention(False)
     ops.enable_fused_geglu(False)
     ops.enable_fused_group_norm(False)
+    ops.enable_fused_up_conv(False)
 
 
 def _args(**kw):
     import argparse
 
     ns = argparse.Namespace(attention="none", estimator="unet", flash=None,
-                            fused_geglu=None)
+                            fused_geglu=None, fused_up=None)
     for k, v in kw.items():
         setattr(ns, k, v)
     return ns
@@ -44,26 +45,39 @@ def _args(**kw):
 
 
 def test_auto_defaults_spatial_enables_measured_stack():
-    flash, fused = resolve_kernel_flags(_args(attention="spatial"))
+    flash, fused, _ = resolve_kernel_flags(_args(attention="spatial"))
     assert (flash, fused) == (True, True)
     assert ops.flash_attention_enabled() and ops.fused_geglu_enabled()
 
 
 def test_auto_defaults_dit_enables_flash_not_geglu():
-    flash, fused = resolve_kernel_flags(_args(estimator="dit"))
+    flash, fused, _ = resolve_kernel_flags(_args(estimator="dit"))
     assert (flash, fused) == (True, False)
     assert ops.flash_attention_enabled() and not ops.fused_geglu_enabled()
 
 
 def test_auto_defaults_plain_unet_stays_off():
-    assert resolve_kernel_flags(_args()) == (False, False)
+    assert resolve_kernel_flags(_args())[:2] == (False, False)
     assert not ops.flash_attention_enabled()
 
 
 def test_explicit_no_flash_overrides_auto():
-    flash, fused = resolve_kernel_flags(_args(attention="spatial", flash=False))
+    flash, fused, _ = resolve_kernel_flags(_args(attention="spatial",
+                                                 flash=False))
     assert (flash, fused) == (False, True)
     assert not ops.flash_attention_enabled() and ops.fused_geglu_enabled()
+
+
+def test_fused_up_defaults_on_everywhere():
+    """The exact 4-phase up+conv decomposition is model-agnostic (identical
+    param tree, self-gates to 2D k=3 s=1) and measured faster on both the
+    VAE decoder (+9.4%) and the UNet step (+1.5%) — the CLIs enable it by
+    default; --no-fused-up forces the plain upsample->conv path."""
+    assert resolve_kernel_flags(_args())[2] is True
+    assert ops.fused_up_conv_enabled()
+    ops.enable_fused_up_conv(False)
+    assert resolve_kernel_flags(_args(fused_up=False))[2] is False
+    assert not ops.fused_up_conv_enabled()
 
 
 @pytest.mark.parametrize("bad", [

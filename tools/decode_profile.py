@@ -104,10 +104,11 @@ def _timed(compiled, z0):
     return time.perf_counter() - t0
 
 
-def decode_arm(batch, dtype, fused_gn, tag):
+def decode_arm(batch, dtype, fused_gn, tag, fused_up=False):
     import medfusion_tpu.ops as ops
 
     ops.enable_fused_group_norm(fused_gn)
+    ops.enable_fused_up_conv(fused_up)
     try:
         vae, vp, _, _ = build(dtype)
         z0 = jax.random.normal(jax.random.PRNGKey(1), (batch,) + LAT, dtype)
@@ -119,6 +120,7 @@ def decode_arm(batch, dtype, fused_gn, tag):
         ms = time_chained(dec, z0)
     finally:
         ops.enable_fused_group_norm(False)
+        ops.enable_fused_up_conv(False)
     flops, nbytes = cost(lambda z: vae.apply({"params": vp}, z,
                                              method=vae.decode), z0)
     dt = ms / 1e3
@@ -140,17 +142,33 @@ def main():
     ap.add_argument("--skip-flow", action="store_true",
                     help="skip the full 1-NFE flow program arm (one extra "
                          "remote compile)")
+    ap.add_argument("--up-ab", action="store_true",
+                    help="A/B the fused 2x-upsample+conv decomposition "
+                         "(ops.enable_fused_up_conv) on decode + the UNet "
+                         "step instead of the default arm set. NOTE: the "
+                         "fused arm's decode_mfu is SEMANTIC MFU (unfused "
+                         "FLOP count / time) so the two arms share a "
+                         "numerator; samples/s is the decider")
     args = ap.parse_args()
     print(f"# devices: {jax.devices()}", flush=True)
     b = args.batch
 
-    rows = [
-        decode_arm(b, jnp.bfloat16, False, "decode bf16 XLA"),
-        decode_arm(b, jnp.bfloat16, True, "decode bf16 fused-GN"),
-        decode_arm(b, jnp.float32, False, "decode f32 XLA"),
-    ]
+    if args.up_ab:
+        rows = [
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 XLA"),
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up",
+                       fused_up=True),
+        ]
+    else:
+        rows = [
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 XLA"),
+            decode_arm(b, jnp.bfloat16, True, "decode bf16 fused-GN"),
+            decode_arm(b, jnp.float32, False, "decode f32 XLA"),
+        ]
 
     # one UNet estimator step (bf16) for the decode:unet cost ratio
+    import medfusion_tpu.ops as ops
+
     _, _, unet, up = build(jnp.bfloat16)
     zu = jax.random.normal(jax.random.PRNGKey(2), (b,) + LAT, jnp.bfloat16)
     t = jnp.full((b,), 500, jnp.int32)
@@ -161,14 +179,25 @@ def main():
         out = out[0] if isinstance(out, (tuple, list)) else out
         return jnp.sum(out).astype(jnp.float32)
 
-    ms_unet = time_chained(unet_step, zu)
     uflops, _ = cost(lambda z: unet.apply({"params": up}, z, t, c), zu)
-    unet_rec = {
-        "arm": "unet step bf16", "ms_per_step": round(ms_unet, 3),
-        "mfu": round(uflops / (ms_unet / 1e3) / V5E_PEAK_FLOPS, 4)
-               if uflops else None,
-    }
-    print(json.dumps(unet_rec), flush=True)
+    unet_arms = [(False, "unet step bf16")]
+    if args.up_ab:
+        unet_arms.append((True, "unet step bf16 fused-up"))
+    unet_recs = []
+    for fu, tag in unet_arms:
+        ops.enable_fused_up_conv(fu)
+        try:
+            ms_unet = time_chained(unet_step, zu)
+        finally:
+            ops.enable_fused_up_conv(False)
+        unet_rec = {
+            "arm": tag, "ms_per_step": round(ms_unet, 3),
+            "mfu": round(uflops / (ms_unet / 1e3) / V5E_PEAK_FLOPS, 4)
+                   if uflops else None,
+        }
+        unet_recs.append(unet_rec)
+        print(json.dumps(unet_rec), flush=True)
+    unet_rec = unet_recs[0]
 
     flow_rec = None
     if not args.skip_flow:
@@ -202,8 +231,11 @@ def main():
         print(json.dumps(flow_rec), flush=True)
 
     print(json.dumps({
-        "metric": f"VAE decode roofline (chest 8x32x32 -> 256^2, B={b})",
-        "decode_arms": rows, "unet_step": unet_rec, "flow_1nfe": flow_rec,
+        "metric": f"VAE decode roofline (chest 8x32x32 -> 256^2, B={b})"
+                  + (" [fused-up A/B]" if args.up_ab else ""),
+        "decode_arms": rows,
+        "unet_step": unet_recs if args.up_ab else unet_rec,
+        "flow_1nfe": flow_rec,
         "v5e_peaks": {"bf16_tflops": 197, "hbm_gbps": V5E_HBM_GBPS},
     }))
 
