@@ -89,6 +89,14 @@ def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarra
     return x
 
 
+# "phase4" = four separate 2x2 phase convs (the measured round-5 default);
+# "stacked" = the same four phase kernels stacked along output channels in
+# ONE (1,1)-padded 2x2 conv + phase slicing — identical math, candidate for
+# better MXU lane utilization at low channel counts (A/B via
+# tools/decode_profile.py --up-ab before switching the default).
+FUSED_UP_VARIANT = "phase4"
+
+
 def fused_up2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                     bias: jnp.ndarray | None) -> jnp.ndarray:
     """``conv3x3(nearest-2x-upsample(x))`` as FOUR 2x2 phase convs on the
@@ -114,18 +122,36 @@ def fused_up2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     w = kernel
     even = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], w.dtype)
     odd = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], w.dtype)
-    pads = {0: (1, 0), 1: (0, 1)}
 
-    def phase(pr, pc):
+    def phase_kernel(pr, pc):
         comb_r, comb_c = (even, odd)[pr], (even, odd)[pc]
-        k = jnp.einsum("ri,cj,ijab->rcab", comb_r, comb_c, w)
-        return jax.lax.conv_general_dilated(
-            x, k, (1, 1), [pads[pr], pads[pc]],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.einsum("ri,cj,ijab->rcab", comb_r, comb_c, w)
 
     b, h, wd, _ = x.shape
     c = w.shape[-1]
-    y = jnp.stack([phase(0, 0), phase(0, 1), phase(1, 0), phase(1, 1)], axis=3)
+    if FUSED_UP_VARIANT == "stacked":
+        # ONE 2x2 conv with the four phase kernels STACKED along output
+        # channels on a (1,1)-padded input — identical per-channel dot
+        # products, but a single conv with 4x the output channels (full
+        # MXU lane utilization at the decoder's 64-ch levels) instead of
+        # four narrow ones. Window position i on the padded input covers
+        # sources (i-1, i): even phases read rows [0:h] (sources m-1, m),
+        # odd phases read rows [1:h+1] (sources m, m+1) of the SAME conv.
+        ks = jnp.concatenate([phase_kernel(0, 0), phase_kernel(0, 1),
+                              phase_kernel(1, 0), phase_kernel(1, 1)],
+                             axis=-1)
+        yp = jax.lax.conv_general_dilated(
+            x, ks, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        phases = [yp[:, :h, :wd, 0:c], yp[:, :h, 1:, c:2 * c],
+                  yp[:, 1:, :wd, 2 * c:3 * c], yp[:, 1:, 1:, 3 * c:]]
+    else:
+        pads = {0: (1, 0), 1: (0, 1)}
+        phases = [jax.lax.conv_general_dilated(
+            x, phase_kernel(pr, pc), (1, 1), [pads[pr], pads[pc]],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            for pr, pc in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    y = jnp.stack(phases, axis=3)
     y = y.reshape(b, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * wd, c)
     return y if bias is None else y + bias

@@ -328,6 +328,39 @@ def test_fused_up2x_conv_grads_exact():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_up2x_conv_stacked_variant_exact():
+    """The 'stacked' variant (one 4C-output 2x2 conv + phase slicing) is the
+    same per-channel dot products as the 'phase4' default — outputs and
+    grads match phase4 bit-for-bit-level tight and the unfused reference to
+    f32 rounding (A/B candidate, tools/decode_profile.py --up-ab)."""
+    x = jnp.asarray(rand((2, 5, 7, 6), seed=40))
+    w = jnp.asarray(rand((3, 3, 6, 4), seed=41))
+    b = jnp.asarray(rand((4,), seed=42))
+    up = F.interpolate_nearest_exact(x, (10, 14))
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    y_phase4 = F.fused_up2x_conv(x, w, b)
+    assert F.FUSED_UP_VARIANT == "phase4"  # shipped default until re-measured
+    F.FUSED_UP_VARIANT = "stacked"
+    try:
+        y_stacked = F.fused_up2x_conv(x, w, b)
+        g_stacked = jax.grad(lambda *a: jnp.sum(jnp.sin(
+            F.fused_up2x_conv(*a))), argnums=(0, 1, 2))(x, w, b)
+    finally:
+        F.FUSED_UP_VARIANT = "phase4"
+    g_phase4 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        F.fused_up2x_conv(*a))), argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(y_stacked), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_stacked), np.asarray(y_phase4),
+                               rtol=1e-6, atol=1e-7)
+    for a, f in zip(g_phase4, g_stacked):
+        # f32 rounding only (different conv-vjp accumulation orders)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_basic_up_fused_param_tree_and_output(fused_up_conv_switch):
     """Switch ON: identical param tree, identical init draws, same output to
     f32 rounding — checkpoints interchange freely between modes."""

@@ -104,11 +104,13 @@ def _timed(compiled, z0):
     return time.perf_counter() - t0
 
 
-def decode_arm(batch, dtype, fused_gn, tag, fused_up=False):
+def decode_arm(batch, dtype, fused_gn, tag, fused_up=False, variant="phase4"):
     import medfusion_tpu.ops as ops
+    from medfusion_tpu.nn import functional as F
 
     ops.enable_fused_group_norm(fused_gn)
     ops.enable_fused_up_conv(fused_up)
+    F.FUSED_UP_VARIANT = variant
     try:
         vae, vp, _, _ = build(dtype)
         z0 = jax.random.normal(jax.random.PRNGKey(1), (batch,) + LAT, dtype)
@@ -121,6 +123,7 @@ def decode_arm(batch, dtype, fused_gn, tag, fused_up=False):
     finally:
         ops.enable_fused_group_norm(False)
         ops.enable_fused_up_conv(False)
+        F.FUSED_UP_VARIANT = "phase4"
     flops, nbytes = cost(lambda z: vae.apply({"params": vp}, z,
                                              method=vae.decode), z0)
     dt = ms / 1e3
@@ -158,6 +161,8 @@ def main():
             decode_arm(b, jnp.bfloat16, False, "decode bf16 XLA"),
             decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up",
                        fused_up=True),
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up stacked",
+                       fused_up=True, variant="stacked"),
         ]
     else:
         rows = [
@@ -180,16 +185,21 @@ def main():
         return jnp.sum(out).astype(jnp.float32)
 
     uflops, _ = cost(lambda z: unet.apply({"params": up}, z, t, c), zu)
-    unet_arms = [(False, "unet step bf16")]
+    unet_arms = [(False, "phase4", "unet step bf16")]
     if args.up_ab:
-        unet_arms.append((True, "unet step bf16 fused-up"))
+        unet_arms.append((True, "phase4", "unet step bf16 fused-up"))
+        unet_arms.append((True, "stacked", "unet step bf16 fused-up stacked"))
     unet_recs = []
-    for fu, tag in unet_arms:
+    from medfusion_tpu.nn import functional as F
+
+    for fu, variant, tag in unet_arms:
         ops.enable_fused_up_conv(fu)
+        F.FUSED_UP_VARIANT = variant
         try:
             ms_unet = time_chained(unet_step, zu)
         finally:
             ops.enable_fused_up_conv(False)
+            F.FUSED_UP_VARIANT = "phase4"
         unet_rec = {
             "arm": tag, "ms_per_step": round(ms_unet, 3),
             "mfu": round(uflops / (ms_unet / 1e3) / V5E_PEAK_FLOPS, 4)
