@@ -407,6 +407,23 @@ def main():
 
     _ops.enable_fused_up_conv(args.fused_up)
     if args.train:
+        # the train bench IS the flagship chest protocol (see
+        # run_train_bench docstring); flags it cannot honor are rejected
+        # rather than silently recorded under the wrong config
+        ignored = [name for name, off in (
+            ("--preset", args.preset != "chest"),
+            ("--attention", args.attention != "none"),
+            ("--attention-heads", args.attention_heads != 8),
+            ("--sampler", args.sampler != "ddim"),
+            ("--steps", args.steps != STEPS),
+            ("--sweep", args.sweep),
+            ("--flash", bool(args.flash)),
+            ("--fused-geglu", bool(args.fused_geglu)),
+        ) if off]
+        if ignored:
+            ap.error(f"--train measures the fixed flagship chest train "
+                     f"protocol and does not honor: {', '.join(ignored)} "
+                     f"(use tools/train_flash_ab.py for attention arms)")
         print(json.dumps(run_train_bench(args.batch)))
         return
 

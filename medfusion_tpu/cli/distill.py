@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from medfusion_tpu.cli.kernels import add_kernel_args, resolve_kernel_flags
 from medfusion_tpu.cli.presets import (
     PRESETS,
     build_dataset,
@@ -180,6 +181,7 @@ def main(argv=None):
     ap.add_argument("--latent-shift", type=float, default=0.0)
     ap.add_argument("--estimator", default="unet",
                     choices=("unet", "unet_legacy", "openai", "lucidrains", "dit"))
+    add_kernel_args(ap)
     ap.add_argument("--resume", action="store_true",
                     help="restore each stage's latest checkpoint and "
                          "continue (completed stages fast-forward)")
@@ -196,8 +198,14 @@ def main(argv=None):
     out = Path(args.out)
     key = jax.random.PRNGKey(args.seed)
 
+    # match the teacher's model config (an attention-trained teacher has a
+    # different param tree) and flip the measured kernel switches before the
+    # first trace — teacher rollout, student step, and reflow pair
+    # generation all inherit them
+    resolve_kernel_flags(args, ap)
     vae = build_vae(p)
-    unet = build_unet(p, args.estimator)
+    unet = build_unet(p, args.estimator, attention=args.attention,
+                      attn_heads=getattr(args, "attention_heads", 8))
     if args.method == "reflow":
         if args.teacher_guidance != 1.0 and p.num_classes != 2:
             ap.error("--teacher-guidance negative labels need a 2-class preset")

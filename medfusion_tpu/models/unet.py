@@ -87,6 +87,22 @@ class UNet(nn.Module):
     def setup(self):
         depth = self.depth
         attn = self._attn_types()
+        if self.attn_heads < 1:
+            raise ValueError(f"attn_heads must be >= 1, got {self.attn_heads}")
+        # Every attended width must split evenly into heads, or the q/k/v
+        # projection widths silently floor (hid_chs[i]//attn_heads * attn_heads
+        # != hid_chs[i]) and the param tree stops matching the documented
+        # "same params at any head count" invariant. Level i attends at
+        # hid_chs[i] (encoder + middle) AND hid_chs[i-1] (decoder k=0 stage).
+        for i in range(1, depth):
+            if attn[i] == "none":
+                continue
+            for ch in {self.hid_chs[i], self.hid_chs[i - 1]}:
+                if ch % self.attn_heads:
+                    raise ValueError(
+                        f"attn_heads={self.attn_heads} does not divide attended "
+                        f"level width {ch} (hid_chs={tuple(self.hid_chs)}, "
+                        f"use_attention level {i}={attn[i]!r})")
         nrb = self.num_res_blocks
         t_dim = self.time_emb_dim or self.hid_chs[0] * 4
         self._time_emb_dim = t_dim if self.use_time_embedder else None

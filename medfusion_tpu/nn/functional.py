@@ -91,9 +91,11 @@ def interpolate_nearest_exact(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarra
 
 # "phase4" = four separate 2x2 phase convs (the measured round-5 default);
 # "stacked" = the same four phase kernels stacked along output channels in
-# ONE (1,1)-padded 2x2 conv + phase slicing — identical math, candidate for
-# better MXU lane utilization at low channel counts (A/B via
-# tools/decode_profile.py --up-ab before switching the default).
+# ONE (1,1)-padded 2x2 conv + phase slicing — identical math. A/B'd on the
+# v5e (tools/decode_profile.py --up-ab, DECODE_UPAB_r05.json): stacked
+# LOSES narrowly at the shipped widths (decode 21.28 vs 21.05 ms, UNet step
+# 10.10 vs 10.07) — the 4C-output conv does not pay for its extra padding
+# row/col at C>=64. phase4 stays the default by measurement.
 FUSED_UP_VARIANT = "phase4"
 
 

@@ -52,3 +52,24 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_ops_switches():
+    """The Pallas/fusion switches are process-global and the product CLIs
+    flip them (resolve_kernel_flags); without isolation a CLI-smoke test
+    leaks its switch state into every later test module (e.g. fused-up convs
+    under a torch-parity tolerance). Save/restore around every test; also
+    restore FUSED_UP_VARIANT."""
+    import medfusion_tpu.ops as ops
+    from medfusion_tpu.nn import functional as F
+
+    saved = (ops.flash_attention_enabled(), ops.fused_geglu_enabled(),
+             ops.fused_group_norm_enabled(), ops.fused_up_conv_enabled(),
+             F.FUSED_UP_VARIANT)
+    yield
+    ops.enable_flash_attention(saved[0])
+    ops.enable_fused_geglu(saved[1])
+    ops.enable_fused_group_norm(saved[2])
+    ops.enable_fused_up_conv(saved[3])
+    F.FUSED_UP_VARIANT = saved[4]

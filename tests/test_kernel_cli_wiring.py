@@ -167,6 +167,96 @@ def test_attention_heads_flag_validation():
                    attn_heads=2)
 
 
+def test_unet_rejects_non_dividing_attn_heads():
+    """The divisibility invariant lives on the UNet itself, so EVERY entry
+    point (CLIs via build_unet, bench.py, direct construction) is covered:
+    a non-dividing head count would silently floor the q/k/v projection
+    widths and change the param tree."""
+    from medfusion_tpu.models.unet import UNet
+
+    z = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+
+    gn = ("GROUP", {"num_groups": 4, "affine": True})
+
+    def make(heads, attention):
+        return UNet(in_ch=3, out_ch=3, hid_chs=(8, 16, 32),
+                    kernel_sizes=(3, 3, 3), strides=(1, 2, 2),
+                    cond_emb_num_classes=None, deep_supervision=0,
+                    norm_name=gn, use_attention=attention, attn_heads=heads)
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make(3, "linear").init(jax.random.PRNGKey(0), z, t)
+    with pytest.raises(ValueError, match=">= 1"):
+        make(0, "none").init(jax.random.PRNGKey(0), z, t)
+    # heads=3 is fine when no level attends (pass-through, no projections),
+    # and dividing heads are fine with attention on
+    make(3, "none").init(jax.random.PRNGKey(0), z, t)
+    make(4, "linear").init(jax.random.PRNGKey(0), z, t)
+    # per-level config: 'none' levels are exempt, attended levels checked.
+    # attn at level 2 requires hid_chs[1]=16 and hid_chs[2]=32 divisible:
+    make_lv = UNet(in_ch=3, out_ch=3, hid_chs=(8, 16, 32),
+                   kernel_sizes=(3, 3, 3), strides=(1, 2, 2),
+                   cond_emb_num_classes=None, deep_supervision=0, norm_name=gn,
+                   use_attention=["none", "none", "linear"], attn_heads=16)
+    make_lv.init(jax.random.PRNGKey(0), z, t)
+    bad_lv = UNet(in_ch=3, out_ch=3, hid_chs=(8, 16, 32),
+                  kernel_sizes=(3, 3, 3), strides=(1, 2, 2),
+                  cond_emb_num_classes=None, deep_supervision=0, norm_name=gn,
+                  use_attention=["none", "linear", "none"], attn_heads=16)
+    with pytest.raises(ValueError, match="does not divide"):
+        bad_lv.init(jax.random.PRNGKey(0), z, t)
+
+
+def test_distill_cli_exposes_kernel_flags():
+    """cli/distill builds the teacher/student with the attention config and
+    kernel switches (an attention-trained teacher is otherwise
+    un-restorable there)."""
+    from medfusion_tpu.cli import distill
+
+    with pytest.raises(SystemExit) as e:
+        distill.main(["--attention", "bogus"])
+    assert e.value.code == 2
+    # the flags are registered (a valid attention choice gets PAST parsing;
+    # the next failure is the bogus estimator choice, still parser-level)
+    with pytest.raises(SystemExit) as e2:
+        distill.main(["--preset", "smoke", "--attention", "spatial",
+                      "--attention-heads", "2", "--estimator", "bogus"])
+    assert e2.value.code == 2
+
+
+def test_distill_cli_attention_smoke(tmp_path):
+    """One pd stage on a linear-attention teacher/student (smoke preset):
+    distill builds the attention param tree and runs end-to-end — the
+    config an attention-trained `train_diffusion --attention` run hands it."""
+    from medfusion_tpu.cli import distill
+
+    out = tmp_path / "distill_attn"
+    distill.main(["--preset", "smoke", "--start-steps", "2", "--stages", "1",
+                  "--iters-per-stage", "2", "--ckpt-every", "2",
+                  "--out", str(out), "--batch-size", "2",
+                  "--attention", "linear"])
+    assert (out / "stage_2steps" / "checkpoints").exists()
+
+
+def test_bench_train_rejects_unhonored_flags(monkeypatch):
+    """bench.py --train measures the fixed flagship chest protocol; flags it
+    cannot honor must error, not be silently recorded under the wrong
+    config."""
+    import bench
+
+    monkeypatch.setattr("sys.argv",
+                        ["bench.py", "--train", "--preset", "colon"])
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 2
+    monkeypatch.setattr("sys.argv",
+                        ["bench.py", "--train", "--attention", "spatial"])
+    with pytest.raises(SystemExit) as e2:
+        bench.main()
+    assert e2.value.code == 2
+
+
 # ------------------------------------------------- end-to-end CLI round trip
 
 

@@ -44,3 +44,35 @@ def time_op(fn, x):
     """Marginal per-application seconds: (T(N_HI) - T(N_LO)) / (N_HI - N_LO)
     cancels the fixed dispatch+fetch overhead."""
     return (loop_total(fn, x, N_HI) - loop_total(fn, x, N_LO)) / (N_HI - N_LO)
+
+
+def _timed(compiled, z0):
+    t0 = time.perf_counter()
+    float(compiled(z0))
+    return time.perf_counter() - t0
+
+
+def time_chained(apply_fn, z0, iters=20, runs=3):
+    """ms per application of a PROGRAM-SIZED op (10s of ms — too big for the
+    ``time_op`` 100/900-iteration protocol): ``iters`` chained applications
+    in one jitted ``fori_loop``; ``apply_fn`` returns a scalar checksum, and
+    the next input is the original perturbed by it (serializes the chain AND
+    defeats CSE); ONE scalar fetch, best of ``runs``.
+
+    One definition (decode_profile + few_step_profile both import it) so
+    protocol changes keep the tools' numbers comparable."""
+
+    def run(z_init):
+        def body(_, carry):
+            z, acc = carry
+            s = apply_fn(z)
+            return (z_init * (1.0 + 1e-6 * s.astype(z_init.dtype)), acc + s)
+
+        _, acc = jax.lax.fori_loop(0, iters, body,
+                                   (z_init, jnp.zeros((), jnp.float32)))
+        return acc
+
+    compiled = jax.jit(run).lower(z0).compile()
+    float(compiled(z0))  # settle
+    best = min(_timed(compiled, z0) for _ in range(runs))
+    return best / iters * 1e3

@@ -77,31 +77,7 @@ def cost(f, *args):
         return 0.0, 0.0
 
 
-def time_chained(apply_fn, z0, iters=20):
-    """ms per application: `iters` chained applications in one program; the
-    next input is perturbed by the previous output's checksum (serializes the
-    chain AND defeats CSE); ONE scalar fetch."""
-
-    def run(z_init):
-        def body(_, carry):
-            z, acc = carry
-            s = apply_fn(z)
-            return (z_init * (1.0 + 1e-6 * s.astype(z_init.dtype)), acc + s)
-
-        _, acc = jax.lax.fori_loop(0, iters, body,
-                                   (z_init, jnp.zeros((), jnp.float32)))
-        return acc
-
-    compiled = jax.jit(run).lower(z0).compile()
-    float(compiled(z0))  # settle
-    best = min(_timed(compiled, z0) for _ in range(3))
-    return best / iters * 1e3
-
-
-def _timed(compiled, z0):
-    t0 = time.perf_counter()
-    float(compiled(z0))
-    return time.perf_counter() - t0
+from _timing import time_chained  # noqa: E402
 
 
 def decode_arm(batch, dtype, fused_gn, tag, fused_up=False, variant="phase4"):
@@ -214,7 +190,6 @@ def main():
         # the actual 1-NFE product program (flow Euler 1 step + decode),
         # bench protocol: jitted sample, scalar checksum, min of 3
         from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
-        from medfusion_tpu.models.latent_embedders import VAE as _V
 
         vae, vp, unet2, up2 = build(jnp.bfloat16)
         pipe = FlowMatchingPipeline(noise_estimator=unet2, latent_embedder=vae,
