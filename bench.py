@@ -112,14 +112,17 @@ def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
     avoids extra remote-compile round trips).
 
     SEMANTIC FLOPs: the fused 2x-upsample+conv decomposition (2.25x fewer
-    MACs on converted levels) is forced OFF for the count so every round's
-    mfu/tflops_per_sample shares the unfused numerator — the measured time
-    is the only thing the switch changes (PARITY.md fused-up A/B)."""
+    MACs on converted levels) and the s2d decode tail (16/9 the MACs on the
+    final decoder level) are forced OFF for the count so every round's
+    mfu/tflops_per_sample shares the stock numerator — the measured time
+    is the only thing the switches change (PARITY.md fused-up / s2d A/Bs)."""
     import medfusion_tpu.ops as ops
 
     def flops_of(f, *args):
         prev = ops.fused_up_conv_enabled()
+        prev_s2d = ops.s2d_decode_tail_enabled()
         ops.enable_fused_up_conv(False)
+        ops.enable_s2d_decode_tail(False)
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
@@ -128,6 +131,7 @@ def flops_per_sample(pipe, params, preset="chest", nfe=STEPS):
             return 0.0
         finally:
             ops.enable_fused_up_conv(prev)
+            ops.enable_s2d_decode_tail(prev_s2d)
 
     z1 = jnp.zeros((1,) + PRESETS[preset]["latent"], jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.int32)
@@ -210,9 +214,11 @@ def run_bench(pipe, params, batch, fps, preset="chest", attention_label="none",
         "mfu": round(mfu, 4),
         "batch": batch,
         "tflops_per_sample": round(fps / 1e12, 3),
-        # actual trace-time state of the exact up+conv decomposition (mfu's
-        # FLOP numerator stays unfused either way — see flops_per_sample)
+        # actual trace-time state of the exact up+conv decomposition and the
+        # s2d decode tail (mfu's FLOP numerator stays stock either way —
+        # see flops_per_sample)
         "fused_up": _ops.fused_up_conv_enabled(),
+        "s2d_tail": _ops.s2d_decode_tail_enabled(),
         **({"amortized_dispatch": amortize} if amortize > 1 else {}),
     }
 
@@ -382,6 +388,13 @@ def main():
                          "measured decode +9.4%%, UNet step +1.5%% "
                          "(PARITY.md round 5). MFU keeps the unfused "
                          "(semantic) FLOP numerator either way")
+    ap.add_argument("--s2d-tail", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="exact space-to-depth execution of the final VAE "
+                         "decoder level (one full-lane 2x2 conv per lane-"
+                         "starved C=64 3x3 conv). Default ON — matches the "
+                         "product CLIs; MFU keeps the stock FLOP numerator "
+                         "either way")
     ap.add_argument("--sampler", choices=["ddim", "edm", "flow"],
                     default="ddim",
                     help="opt-in EDM (Karras Heun) or rectified-flow ODE "
@@ -406,6 +419,7 @@ def main():
     import medfusion_tpu.ops as _ops
 
     _ops.enable_fused_up_conv(args.fused_up)
+    _ops.enable_s2d_decode_tail(args.s2d_tail)
     if args.train:
         # the train bench IS the flagship chest protocol (see
         # run_train_bench docstring); flags it cannot honor are rejected
@@ -435,7 +449,7 @@ def main():
                    and args.attention == "none" and not args.flash
                    and not args.fused_geglu and args.attention_heads == 8
                    and args.sampler == "ddim" and args.steps == STEPS
-                   and args.fused_up)
+                   and args.fused_up and args.s2d_tail)
     suite_records, suite_compact = ([], None)
     if default_run:
         suite_records, suite_compact = run_suite_extras(args.batch)

@@ -66,6 +66,13 @@ def add_kernel_args(ap: argparse.ArgumentParser, attention: bool = True) -> None
              "decomposition (2.25x fewer MACs; measured decode +9.4%%, "
              "UNet step +1.5%%, PARITY.md round 5). Pure XLA, identical "
              "param tree; self-gates to 2D k=3 s=1. Default: on")
+    ap.add_argument(
+        "--s2d-tail", action=argparse.BooleanOptionalAction, default=None,
+        help="run the final autoencoder decoder level in space-to-depth "
+             "layout (one 2x2 conv with 4C channels per 3x3 conv — full MXU "
+             "lanes where C=64 wastes half; exact math, identical params; "
+             "measured 1.38x on the level's convs, PARITY.md round 5). "
+             "Self-gates to 2D group-normed inference decodes. Default: on")
 
 
 def resolve_kernel_flags(args, parser: argparse.ArgumentParser | None = None):
@@ -117,9 +124,15 @@ def resolve_kernel_flags(args, parser: argparse.ArgumentParser | None = None):
     fused_up = getattr(args, "fused_up", None)
     fused_up = True if fused_up is None else bool(fused_up)
 
+    # s2d decode tail: exact, self-gating (2D group-normed inference
+    # decodes only), measured 1.38x on the final-level convs — default ON.
+    s2d_tail = getattr(args, "s2d_tail", None)
+    s2d_tail = True if s2d_tail is None else bool(s2d_tail)
+
     import medfusion_tpu.ops as ops
 
     ops.enable_flash_attention(flash)
     ops.enable_fused_geglu(fused)
     ops.enable_fused_up_conv(fused_up)
-    return flash, fused, fused_up
+    ops.enable_s2d_decode_tail(s2d_tail)
+    return flash, fused, fused_up, s2d_tail

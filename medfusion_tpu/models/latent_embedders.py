@@ -230,19 +230,51 @@ class _AutoencoderBase(nn.Module):
             h = enc(h, train=train)
         return h
 
+    def _use_s2d_tail(self, train: bool, with_vertical: bool,
+                      with_hiddens: bool) -> bool:
+        """The s2d decode tail (ops.enable_s2d_decode_tail) applies when the
+        final decoder level is a plain learnable 2x up + 3x3 GROUP-normed
+        conv block with no attention/dropout, on an inference-shaped decode
+        (no deep-supervision heads, no GAN hiddens — those consume the
+        full-res pre-head activation)."""
+        from medfusion_tpu import ops
+        from medfusion_tpu.nn.blocks import _parse
+        from medfusion_tpu.nn.functional import ensure_tuple
+
+        if not ops.s2d_decode_tail_enabled():
+            return False
+        if self.spatial_dims != 2 or with_vertical or with_hiddens:
+            return False
+        if not self.decoders or self.dropout is not None:
+            return False
+        if not self.learnable_interpolation or self._attn()[0] != "none":
+            return False
+        if ensure_tuple(self.strides[1], 2) != (2, 2):
+            return False
+        if ensure_tuple(self.kernel_sizes[1], 2) != (3, 3):
+            return False
+        kind, _ = _parse(self.norm_name)
+        return kind in (None, "group")
+
     def _decode_backbone(self, z_q, train: bool, with_vertical: bool, with_hiddens: bool = False):
         """Decoder pass. With ``with_hiddens`` also returns the pre-head
         activations (input of ``outc`` / each ``outc_ver``) — needed by the
         adversarial trainer's adaptive-lambda (reference ``compute_lambda``
         differentiates w.r.t. the out-layer weight, latent_embedders.py:1059-1065)."""
+        from medfusion_tpu.nn import functional as F
+
+        s2d = self._use_s2d_tail(train, with_vertical, with_hiddens)
         out_hor, h_vers = [], []
         h = self.inc_dec(z_q, train=train)
         for i in range(len(self.decoders) - 1, -1, -1):
             if with_vertical and i < len(self.outc_ver):
                 out_hor.append(self.outc_ver[i](h, train=train))
                 h_vers.append(h)
-            h = self.decoders[i](h, None, train=train)
-        out = self.outc(h, train=train)
+            h = self.decoders[i](h, None, train=train,
+                                 s2d_tail=(s2d and i == 0))
+        out = self.outc(h, train=train, s2d=s2d)
+        if s2d:
+            out = F.depth_to_space2(out)
         if with_hiddens:
             return out, out_hor[::-1], h, h_vers[::-1]
         return out, out_hor[::-1]

@@ -86,26 +86,60 @@ class FusedGroupNorm(nn.Module):
                                      eps=self.epsilon, apply_silu=self.apply_silu)
 
 
+class S2DGroupNorm(nn.Module):
+    """GroupNorm applied to a space-to-depth tensor (B, h, w, 4C): exact
+    statistics over (h, w, phase, channels-in-group) via ``F.s2d_group_norm``.
+    Params (scale/bias, shape (C,)) match nn.GroupNorm — checkpoints
+    interchange with the full-res layout."""
+
+    channels: int
+    num_groups: int
+    epsilon: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.channels,))
+            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        else:
+            scale = bias = None
+        return F.s2d_group_norm(x, scale, bias, self.num_groups, self.epsilon)
+
+
 class Norm(nn.Module):
     """MONAI get_norm_layer equivalent (GROUP/BATCH/LAYER/INSTANCE), torch eps.
 
     ``fuse_silu=True`` (only honored for GROUP + the fused-kernel switch on)
-    folds the following SiLU into the Pallas one-pass kernel."""
+    folds the following SiLU into the Pallas one-pass kernel.
+
+    ``__call__(x, s2d=True)``: ``x`` is space-to-depth (B, h, w, 4C); GROUP
+    norm only, computed exactly in that layout (``S2DGroupNorm``)."""
 
     norm_name: NormName
     channels: int
     fuse_silu: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         from medfusion_tpu import ops
 
         kind, kw = _parse(self.norm_name)
         if kind is None:
             return x
+        if s2d and kind != "group":
+            raise ValueError(f"s2d norm supports GROUP only, got {kind!r}")
         if kind == "group":
             num_groups = kw.get("num_groups", 32)
             affine = kw.get("affine", True)
+            if s2d:
+                return S2DGroupNorm(
+                    channels=self.channels,
+                    num_groups=num_groups,
+                    epsilon=kw.get("eps", 1e-5),
+                    affine=affine,
+                    name="norm",
+                )(x)
             if ops.fused_group_norm_enabled():
                 return FusedGroupNorm(
                     num_groups=num_groups,
@@ -169,6 +203,11 @@ class ConvND(nn.Module):
     4-phase 2x2 decomposition (``F.fused_up2x_conv`` — same linear map,
     2.25x fewer FLOPs). The param tree is identical to the unfused module
     (checkpoints interchange freely).
+
+    ``__call__(x, s2d=True)`` (2D, s=1, k in {1, 3}): ``x`` is in
+    space-to-depth layout (B, h, w, 4*in_ch) and the SAME (k, k, in_ch,
+    out_ch) params are applied via the exact s2d decomposition
+    (``F.s2d_conv3x3`` / ``F.s2d_conv1x1``), returning s2d output.
     """
 
     spatial_dims: int
@@ -180,12 +219,20 @@ class ConvND(nn.Module):
     fused_up2x: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, s2d: bool = False, s2d_out: bool = False):
         n = self.spatial_dims
         k = F.ensure_tuple(self.kernel_size, n)
         s = F.ensure_tuple(self.stride, n)
         pad = [(p, p) for p in F.get_padding(k, s, n)]
-        in_ch = x.shape[-1]
+        if s2d_out and not self.fused_up2x:
+            raise ValueError("s2d_out is only meaningful with fused_up2x")
+        if s2d:
+            if self.fused_up2x or n != 2 or s != (1, 1) or k not in ((1, 1), (3, 3)):
+                raise ValueError(
+                    f"s2d conv requires 2D s=1 k in {{1,3}}, got dims={n} k={k} s={s}")
+            in_ch = x.shape[-1] // 4
+        else:
+            in_ch = x.shape[-1]
         fan_in = in_ch * 1
         for ki in k:
             fan_in *= ki
@@ -195,6 +242,16 @@ class ConvND(nn.Module):
         else:
             kernel_init = F.torch_conv_kernel_init
             bias_init = F.make_torch_bias_init(fan_in)
+        if s2d:
+            kernel, bias = _ConvParams(
+                k + (in_ch, self.out_channels), kernel_init, bias_init,
+                self.use_bias, name="conv")()
+            from flax.linen.dtypes import promote_dtype
+
+            x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+            if k == (3, 3):
+                return F.s2d_conv3x3(x, kernel, bias)
+            return F.s2d_conv1x1(x, kernel, bias)
         if self.fused_up2x:
             if n != 2 or k != (3, 3) or s != (1, 1):
                 raise ValueError(
@@ -206,7 +263,7 @@ class ConvND(nn.Module):
             from flax.linen.dtypes import promote_dtype
 
             x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
-            return F.fused_up2x_conv(x, kernel, bias)
+            return F.fused_up2x_conv(x, kernel, bias, s2d_out=s2d_out)
         return nn.Conv(
             features=self.out_channels,
             kernel_size=k,
@@ -249,9 +306,11 @@ class BasicBlock(nn.Module):
     zero_conv: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         from medfusion_tpu import ops
 
+        if s2d and self.dropout is not None:
+            raise ValueError("s2d BasicBlock does not support dropout")
         x = ConvND(
             self.spatial_dims,
             self.out_channels,
@@ -259,7 +318,7 @@ class BasicBlock(nn.Module):
             self.stride,
             zero_init=self.zero_conv,
             name="conv",
-        )(x)
+        )(x, s2d=s2d)
         norm_kind, _ = _parse(self.norm_name)
         act_kind, _ = _parse(self.act_name)
         # One-pass GroupNorm+SiLU Pallas fusion when the epilogue is pure SiLU.
@@ -268,10 +327,11 @@ class BasicBlock(nn.Module):
             and norm_kind == "group"
             and act_kind in ("swish", "silu")
             and self.dropout is None
+            and not s2d
         )
         if self.norm_name is not None:
             x = Norm(self.norm_name, self.out_channels, fuse_silu=fuse, name="norm")(
-                x, train=train
+                x, train=train, s2d=s2d
             )
         if fuse:
             return x
@@ -299,7 +359,7 @@ class BasicResBlock(nn.Module):
     zero_conv: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         out = BasicBlock(
             self.spatial_dims,
             self.out_channels,
@@ -310,11 +370,12 @@ class BasicResBlock(nn.Module):
             self.dropout,
             self.zero_conv,
             name="basic_block",
-        )(x, train=train)
-        if x.shape[-1] != self.out_channels:
+        )(x, train=train, s2d=s2d)
+        in_ch = x.shape[-1] // 4 if s2d else x.shape[-1]
+        if in_ch != self.out_channels:
             residual = ConvND(
                 self.spatial_dims, self.out_channels, 1, self.stride, name="conv_res"
-            )(x)
+            )(x, s2d=s2d)
         else:
             residual = x
         return out + residual
@@ -344,7 +405,9 @@ class UnetBasicBlock(_UnetBlockBase):
     """Two BasicBlocks, last zero-init; emb added after each (conv_blocks.py:244-302)."""
 
     @nn.compact
-    def __call__(self, x, emb=None, train: bool = False):
+    def __call__(self, x, emb=None, train: bool = False, s2d: bool = False):
+        if s2d and emb is not None:
+            raise ValueError("s2d conv blocks do not take an embedding")
         e = self._embed(emb, x) if emb is not None else None
         for i in range(self.blocks):
             x = BasicBlock(
@@ -357,7 +420,7 @@ class UnetBasicBlock(_UnetBlockBase):
                 self.dropout,
                 zero_conv=(i == self.blocks - 1),
                 name=f"block_{i}",
-            )(x, train=train)
+            )(x, train=train, s2d=s2d)
             if e is not None:
                 x = x + e
         return x
@@ -368,7 +431,9 @@ class UnetResBlock(_UnetBlockBase):
     block (conv_blocks.py:305-364)."""
 
     @nn.compact
-    def __call__(self, x, emb=None, train: bool = False):
+    def __call__(self, x, emb=None, train: bool = False, s2d: bool = False):
+        if s2d and emb is not None:
+            raise ValueError("s2d conv blocks do not take an embedding")
         e = self._embed(emb, x) if emb is not None else None
         for i in range(self.blocks):
             x = BasicResBlock(
@@ -381,7 +446,7 @@ class UnetResBlock(_UnetBlockBase):
                 self.dropout,
                 zero_conv=(i == self.blocks - 1),
                 name=f"block_{i}",
-            )(x, train=train)
+            )(x, train=train, s2d=s2d)
             if e is not None and i < self.blocks - 1:
                 x = x + e
         return x
@@ -433,8 +498,18 @@ class BasicUp(nn.Module):
     use_res: bool = False
 
     @nn.compact
-    def __call__(self, x, emb=None, train: bool = False):
+    def __call__(self, x, emb=None, train: bool = False, s2d_out: bool = False):
         new_size = F.up_output_shape(x.shape[1:-1], self.kernel_size, self.stride)
+        if s2d_out:
+            # s2d decode tail: emit the fused up-conv's four phase outputs as
+            # channel blocks (space-to-depth layout) instead of interleaving —
+            # the level's remaining blocks then run on the half-res grid.
+            if (self.spatial_dims != 2 or self.use_res
+                    or not self.learnable_interpolation
+                    or tuple(new_size) != tuple(2 * sz for sz in x.shape[1:-1])):
+                raise ValueError("s2d_out requires learnable 2D integer-2x up")
+            return ConvND(self.spatial_dims, self.out_channels, 3, 1,
+                          fused_up2x=True, name="up_conv")(x, s2d_out=True)
         if not self.learnable_interpolation:
             return F.interpolate_nearest_exact(x, new_size)
         import medfusion_tpu.ops as ops
@@ -535,11 +610,32 @@ class UpBlock(nn.Module):
     skip_channels: int = 0
 
     @nn.compact
-    def __call__(self, x_enc, x_skip=None, emb=None, train: bool = False):
+    def __call__(self, x_enc, x_skip=None, emb=None, train: bool = False,
+                 s2d_tail: bool = False):
         from medfusion_tpu.nn.attention import Attention
 
         n = self.spatial_dims
         enable_up = F.ensure_tuple(self.stride, n) != F.ensure_tuple(1, n)
+        if s2d_tail:
+            # exact space-to-depth execution of the whole level (see
+            # F.s2d_conv3x3): up-conv emits phase-block channels, the conv
+            # block runs on the half-res grid, caller depth-to-spaces at the
+            # very end. Inference-shape path: no skip/attention/embedding.
+            if (x_skip is not None or emb is not None
+                    or self.use_attention != "none" or not enable_up):
+                raise ValueError(
+                    "s2d_tail requires a skipless, attention-free, "
+                    "embedding-free up level")
+            x = BasicUp(
+                n, self.out_channels, self.upsample_kernel_size, self.stride,
+                self.learnable_interpolation, name="up_op",
+            )(x_enc, s2d_out=True)
+            ConvBlock = UnetResBlock if self.use_res_block else UnetBasicBlock
+            return ConvBlock(
+                n, self.out_channels, self.kernel_size, 1, self.norm_name,
+                self.act_name, self.dropout, emb_channels=self.emb_channels,
+                name="conv_block",
+            )(x, None, train=train, s2d=True)
         x = x_enc
         if enable_up:
             x = BasicUp(

@@ -100,7 +100,8 @@ FUSED_UP_VARIANT = "phase4"
 
 
 def fused_up2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
-                    bias: jnp.ndarray | None) -> jnp.ndarray:
+                    bias: jnp.ndarray | None,
+                    s2d_out: bool = False) -> jnp.ndarray:
     """``conv3x3(nearest-2x-upsample(x))`` as FOUR 2x2 phase convs on the
     LOW-RES grid + pixel-shuffle interleave — the same linear map with
     16 MACs per output pixel instead of 36 (2.25x fewer FLOPs).
@@ -153,10 +154,167 @@ def fused_up2x_conv(x: jnp.ndarray, kernel: jnp.ndarray,
             x, phase_kernel(pr, pc), (1, 1), [pads[pr], pads[pc]],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
             for pr, pc in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    if s2d_out:
+        # space-to-depth layout (phase-block channel order q*C + c,
+        # q = pr*2 + pc) — for the s2d decode tail, which keeps the whole
+        # final decoder level on the half-res grid (see s2d_conv3x3).
+        y = jnp.concatenate(phases, axis=-1)
+        return y if bias is None else y + jnp.tile(bias, 4)
     y = jnp.stack(phases, axis=3)
     y = y.reshape(b, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * wd, c)
     return y if bias is None else y + bias
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth decode tail (2D).
+#
+# Motivation (measured, UP_LEVEL_AB_r05.json / S2D_PROBE_r05.json): the final
+# VAE decoder level runs 3x3 convs at 256^2 with C=64 — output channels map to
+# MXU lanes, so C=64 caps lane utilization at 50% and the conv measures 0.17
+# of v5e bf16 peak, the slowest op in the decode program. Keeping the level in
+# space-to-depth layout (half-res grid, 4C channels) turns each 3x3 conv into
+# ONE 2x2 conv with 4C in / 4C out channels (full lanes; 16/9 the MACs but
+# ~2.6x the measured rate), GroupNorm into an exact phase-aware reduction, and
+# the 1x1 head into a block-diagonal matmul, with a single depth-to-space at
+# the very end. All maps below are EXACT (same linear algebra, reassociated).
+#
+# Layout convention: channel index q*C + c with phase q = pr*2 + pc, where
+# (pr, pc) = (row, col) parity of the full-res pixel (matches the
+# fused_up2x_conv stacked-variant phase order).
+# ---------------------------------------------------------------------------
+
+# tap map of the s2d 2x2 window: for output-row parity p, kernel row dr of the
+# original 3x3 conv lands at (window offset a, input row-phase q) — and the
+# same table applies to columns. Derivation in s2d_conv3x3's docstring.
+_S2D_TAPS = {
+    (0, 0, 1): 0, (0, 1, 0): 1, (0, 1, 1): 2,  # even parity: (p, a, q) -> dr
+    (1, 0, 0): 0, (1, 0, 1): 1, (1, 1, 0): 2,  # odd parity
+}
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2h, 2w, C) -> (B, h, w, 4C), phase-block channel order q*C + c."""
+    b, H, W, c = x.shape
+    y = x.reshape(b, H // 2, 2, W // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, H // 2, W // 2, 4 * c)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, 4C) -> (B, 2h, 2w, C) — inverse of space_to_depth2."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_kernel_3x3(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> the (2, 2, 4Cin, 4Cout) space-to-depth kernel.
+
+    Block (qin, qout) of window tap (a, b) is W[dr, dc] when the tap table
+    maps ((pr, a, qr) -> dr, (pc, b, qc) -> dc) for qin = qr*2+qc,
+    qout = pr*2+pc, else zero (7/16 of the blocks are zero)."""
+    cin, cout = w.shape[2], w.shape[3]
+    zeros = jnp.zeros((cin, cout), w.dtype)
+    rows_ab = []
+    for a in range(2):
+        cols_ab = []
+        for b in range(2):
+            qin_rows = []
+            for qr in range(2):
+                for qc in range(2):
+                    qout_cols = []
+                    for pr in range(2):
+                        for pc in range(2):
+                            dr = _S2D_TAPS.get((pr, a, qr))
+                            dc = _S2D_TAPS.get((pc, b, qc))
+                            qout_cols.append(zeros if dr is None or dc is None
+                                             else w[dr, dc])
+                    qin_rows.append(jnp.concatenate(qout_cols, axis=-1))
+            cols_ab.append(jnp.concatenate(qin_rows, axis=0))
+        rows_ab.append(jnp.stack(cols_ab, axis=0))
+    return jnp.stack(rows_ab, axis=0)
+
+
+def s2d_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: jnp.ndarray | None) -> jnp.ndarray:
+    """3x3 stride-1 same-pad conv, executed in space-to-depth layout.
+
+    ``x`` is (B, h, w, 4Cin) (s2d of the (B, 2h, 2w, Cin) tensor); ``kernel``
+    the ORIGINAL (3, 3, Cin, Cout) weights. Output pixel (2m+pr, 2n+pc) reads
+    full-res rows 2m+pr-1 .. 2m+pr+1, i.e. s2d rows {m-1, m} for even pr and
+    {m, m+1} for odd pr — so on a (1,1)-over-padded input ONE 2x2 conv with
+    the 4Cout-stacked s2d kernel computes every phase; even phases slice
+    window rows [0:h], odd rows [1:h+1] (same for columns). Exact: each tap
+    of the original conv appears exactly once in the s2d kernel."""
+    h, w = x.shape[1], x.shape[2]
+    c_out = kernel.shape[-1]
+    k2 = s2d_kernel_3x3(kernel)
+    yp = jax.lax.conv_general_dilated(
+        x, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    phases = [yp[:, :h, :w, 0:c_out],
+              yp[:, :h, 1:, c_out:2 * c_out],
+              yp[:, 1:, :w, 2 * c_out:3 * c_out],
+              yp[:, 1:, 1:, 3 * c_out:]]
+    y = jnp.concatenate(phases, axis=-1)
+    return y if bias is None else y + jnp.tile(bias, 4)
+
+
+def s2d_conv1x1(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: jnp.ndarray | None) -> jnp.ndarray:
+    """1x1 conv in s2d layout == the same (Cin, Cout) matmul per phase block."""
+    b, h, w, c4 = x.shape
+    cin = kernel.shape[-2]
+    wmat = kernel.reshape(cin, kernel.shape[-1])
+    y = jnp.einsum("bhwqc,cd->bhwqd", x.reshape(b, h, w, 4, cin), wmat)
+    y = y.reshape(b, h, w, 4 * kernel.shape[-1])
+    return y if bias is None else y + jnp.tile(bias, 4)
+
+
+def s2d_group_norm(x: jnp.ndarray, scale: jnp.ndarray | None,
+                   bias: jnp.ndarray | None, num_groups: int,
+                   eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over the ORIGINAL (B, 2h, 2w, C) tensor, computed in s2d
+    layout: statistics reduce over (h, w, phase, channels-in-group) — the
+    exact same element set as the full-res reduction (flax protocol: f32
+    mean / E[x^2] stats, var = E[x^2] - E[x]^2).
+
+    Layout discipline (measured, tools/s2d_probe3.py): the big tensor is
+    touched ONLY by spatial reductions and one elementwise apply in its
+    native (B, h, w, 4C) layout — an earlier version that reshaped it to
+    (..., 4, g, C/g) forced relayout copies XLA could not fuse with the
+    phase-sliced conv producer and erased the whole tail's win. The per-
+    channel -> per-group bookkeeping happens on (B, 4C)-sized arrays."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    gsz = c // num_groups
+    x32 = x.astype(jnp.float32)
+    # per-s2d-channel spatial sums (fusable reductions, no relayout) ...
+    s1 = jnp.sum(x32, axis=(1, 2))            # (B, 4C)
+    s2 = jnp.sum(jnp.square(x32), axis=(1, 2))
+    # ... folded to per-group stats on the tiny side: channel q*C + c
+    # belongs to group (c // gsz) for every phase q
+    grp1 = jnp.sum(s1.reshape(b, 4, num_groups, gsz), axis=(1, 3))  # (B, G)
+    grp2 = jnp.sum(s2.reshape(b, 4, num_groups, gsz), axis=(1, 3))
+    n = 4.0 * h * w * gsz
+    mu = grp1 / n
+    var = grp2 / n - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)            # (B, G)
+    # per-s2d-channel gain/shift, gathered from the group stats
+    group_of = jnp.tile(jnp.repeat(jnp.arange(num_groups), gsz), 4)  # (4C,)
+    inv_c = inv[:, group_of]                  # (B, 4C)
+    mu_c = mu[:, group_of]
+    if scale is not None:
+        sc4 = jnp.tile(scale.astype(jnp.float32), 4)
+        gain = inv_c * sc4[None, :]
+    else:
+        gain = inv_c
+    shift = -mu_c * gain
+    if bias is not None:
+        shift = shift + jnp.tile(bias.astype(jnp.float32), 4)[None, :]
+    y = x32 * gain[:, None, None, :] + shift[:, None, None, :]
+    return y.astype(x.dtype)
 
 
 def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:

@@ -122,6 +122,27 @@ def fused_up_conv_enabled() -> bool:
     return _FUSED_UP_CONV
 
 
+_S2D_DECODE_TAIL = False
+
+
+def enable_s2d_decode_tail(on: bool = True) -> None:
+    """Run the FINAL autoencoder decoder level (the highest-resolution,
+    lowest-channel one — 256^2 at C=64 on the flagship configs) in
+    space-to-depth layout: each 3x3 conv becomes ONE 2x2 conv with 4C in/out
+    channels (full MXU lanes — the stock C=64 conv measures 0.17 of v5e peak,
+    the s2d form 2.6x that), GroupNorm reduces phase-aware (exact same
+    element set), the 1x1 head applies per phase, and a single
+    depth-to-space lands the full-res image at the very end. Exact math;
+    applies to inference-shaped decodes (no deep-supervision heads / GAN
+    hiddens). Pure XLA, not Pallas."""
+    global _S2D_DECODE_TAIL
+    _S2D_DECODE_TAIL = on
+
+
+def s2d_decode_tail_enabled() -> bool:
+    return _S2D_DECODE_TAIL
+
+
 _FUSED_GEGLU = False
 
 

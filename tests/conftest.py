@@ -66,10 +66,11 @@ def _isolate_ops_switches():
 
     saved = (ops.flash_attention_enabled(), ops.fused_geglu_enabled(),
              ops.fused_group_norm_enabled(), ops.fused_up_conv_enabled(),
-             F.FUSED_UP_VARIANT)
+             F.FUSED_UP_VARIANT, ops.s2d_decode_tail_enabled())
     yield
     ops.enable_flash_attention(saved[0])
     ops.enable_fused_geglu(saved[1])
     ops.enable_fused_group_norm(saved[2])
     ops.enable_fused_up_conv(saved[3])
     F.FUSED_UP_VARIANT = saved[4]
+    ops.enable_s2d_decode_tail(saved[5])

@@ -45,13 +45,13 @@ def _args(**kw):
 
 
 def test_auto_defaults_spatial_enables_measured_stack():
-    flash, fused, _ = resolve_kernel_flags(_args(attention="spatial"))
+    flash, fused, *_ = resolve_kernel_flags(_args(attention="spatial"))
     assert (flash, fused) == (True, True)
     assert ops.flash_attention_enabled() and ops.fused_geglu_enabled()
 
 
 def test_auto_defaults_dit_enables_flash_not_geglu():
-    flash, fused, _ = resolve_kernel_flags(_args(estimator="dit"))
+    flash, fused, *_ = resolve_kernel_flags(_args(estimator="dit"))
     assert (flash, fused) == (True, False)
     assert ops.flash_attention_enabled() and not ops.fused_geglu_enabled()
 
@@ -62,8 +62,8 @@ def test_auto_defaults_plain_unet_stays_off():
 
 
 def test_explicit_no_flash_overrides_auto():
-    flash, fused, _ = resolve_kernel_flags(_args(attention="spatial",
-                                                 flash=False))
+    flash, fused, *_ = resolve_kernel_flags(_args(attention="spatial",
+                                                  flash=False))
     assert (flash, fused) == (False, True)
     assert not ops.flash_attention_enabled() and ops.fused_geglu_enabled()
 

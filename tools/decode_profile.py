@@ -80,12 +80,14 @@ def cost(f, *args):
 from _timing import time_chained  # noqa: E402
 
 
-def decode_arm(batch, dtype, fused_gn, tag, fused_up=False, variant="phase4"):
+def decode_arm(batch, dtype, fused_gn, tag, fused_up=False, variant="phase4",
+               s2d_tail=False):
     import medfusion_tpu.ops as ops
     from medfusion_tpu.nn import functional as F
 
     ops.enable_fused_group_norm(fused_gn)
     ops.enable_fused_up_conv(fused_up)
+    ops.enable_s2d_decode_tail(s2d_tail)
     F.FUSED_UP_VARIANT = variant
     try:
         vae, vp, _, _ = build(dtype)
@@ -99,6 +101,7 @@ def decode_arm(batch, dtype, fused_gn, tag, fused_up=False, variant="phase4"):
     finally:
         ops.enable_fused_group_norm(False)
         ops.enable_fused_up_conv(False)
+        ops.enable_s2d_decode_tail(False)
         F.FUSED_UP_VARIANT = "phase4"
     flops, nbytes = cost(lambda z: vae.apply({"params": vp}, z,
                                              method=vae.decode), z0)
@@ -128,11 +131,23 @@ def main():
                          "fused arm's decode_mfu is SEMANTIC MFU (unfused "
                          "FLOP count / time) so the two arms share a "
                          "numerator; samples/s is the decider")
+    ap.add_argument("--s2d-ab", action="store_true",
+                    help="A/B the s2d decode tail "
+                         "(ops.enable_s2d_decode_tail) on top of fused-up: "
+                         "decode arms fused-up vs fused-up + s2d tail; "
+                         "semantic MFU numerator as with --up-ab")
     args = ap.parse_args()
     print(f"# devices: {jax.devices()}", flush=True)
     b = args.batch
 
-    if args.up_ab:
+    if args.s2d_ab:
+        rows = [
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up",
+                       fused_up=True),
+            decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up + s2d",
+                       fused_up=True, s2d_tail=True),
+        ]
+    elif args.up_ab:
         rows = [
             decode_arm(b, jnp.bfloat16, False, "decode bf16 XLA"),
             decode_arm(b, jnp.bfloat16, False, "decode bf16 fused-up",
@@ -188,7 +203,11 @@ def main():
     flow_rec = None
     if not args.skip_flow:
         # the actual 1-NFE product program (flow Euler 1 step + decode),
-        # bench protocol: jitted sample, scalar checksum, min of 3
+        # bench protocol: jitted sample, scalar checksum, min of 3.
+        # --s2d-ab times it with the full product-default kernel stack.
+        if args.s2d_ab:
+            ops.enable_fused_up_conv(True)
+            ops.enable_s2d_decode_tail(True)
         from medfusion_tpu.pipelines.flow import FlowMatchingPipeline
 
         vae, vp, unet2, up2 = build(jnp.bfloat16)
